@@ -1,0 +1,97 @@
+"""Declarative configuration for the solver stack.
+
+The reference hard-codes every physical/numerical parameter in its mains and
+headers (ref: src/main2D.cpp:17-22, include/NavierStokes2D.hpp:159,
+src/NavierStokes2D.cpp:535,547; Preconditioners.hpp:207,260-261,328).  Here the
+same parameter surface is exposed as plain dataclasses so runs are scriptable
+and ensembles can vmap over them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Outer flexible-GMRES controls.
+
+    The reference outer solve is GMRES with absolute tolerance 1e-4 and
+    maxiter 100000 (ref: src/NavierStokes2D.cpp:534-538).  We default to a
+    relative tolerance (more robust across mesh sizes) and a restart length
+    that keeps the Krylov basis in HBM comfortably.
+    """
+
+    rtol: float = 1e-6
+    atol: float = 0.0
+    restart: int = 50
+    maxiter: int = 200  # outer iterations across restarts
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecondConfig:
+    """Block-preconditioner family selection and inner-solve controls.
+
+    kinds: "identity", "block_identity", "block_triangular", "simple",
+    "asimple", "yosida", "ayosida" -- same family as ref:
+    include/Preconditioners.hpp:7-534.  The reference's inner solves are
+    ILU-preconditioned Krylov to rel. tol 1e-2
+    (ref: include/Preconditioners.hpp:260-261); ILU's sequential triangular
+    solves are hostile to TPUs, so inner solves here are Jacobi-preconditioned
+    fixed-iteration Krylov / Chebyshev with the same loose-tolerance role.
+    """
+
+    kind: str = "asimple"
+    alpha: float = 1.0  # SIMPLE damping; ref uses 0.5 (SIMPLE) / 1.0 (aSIMPLE)
+    # Velocity-block (F) inner solve: fixed GMRES iterations.
+    f_iters: int = 8
+    # Schur-block inner solve: CG iterations (fixed count, compilable).
+    s_iters: int = 25
+
+
+@dataclasses.dataclass(frozen=True)
+class NumericsConfig:
+    """Floating-point and scheduling knobs."""
+
+    dtype: str = "float32"  # array dtype on device
+    precise_dots: bool = True  # accumulate Krylov dot products in float64
+    steps_per_chunk: int = 10  # time steps fused into one jitted scan
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeConfig:
+    """Time-integration window: semi-implicit first-order scheme.
+
+    Mirrors the reference loop `while (time < T - 0.5*deltat)` with the
+    convection linearised at the previous velocity
+    (ref: src/NavierStokes2D.cpp:699-750, :253).
+    """
+
+    dt: float = 0.01
+    t_end: float = 8.0
+
+    @property
+    def n_steps(self) -> int:
+        import math
+
+        # Number of iterations of `while (time < T - dt/2): time += dt`.
+        return max(0, int(math.floor(self.t_end / self.dt - 0.5)) + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    nu: float = 1e-3  # kinematic viscosity (ref: include/NavierStokes2D.hpp:159)
+    rho: float = 1.0  # density (ref: include/NavierStokes2D.hpp:162)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    physics: PhysicsConfig = dataclasses.field(default_factory=PhysicsConfig)
+    time: TimeConfig = dataclasses.field(default_factory=TimeConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    precond: PrecondConfig = dataclasses.field(default_factory=PrecondConfig)
+    numerics: NumericsConfig = dataclasses.field(default_factory=NumericsConfig)
+    test_case: int = 2  # inlet profile selector (ref: include/NavierStokes2D.hpp:29-44)
+    output_dir: Optional[str] = None
+    output_every: int = 0  # 0 = no field output

@@ -1,0 +1,142 @@
+"""Host-side mesh container: static arrays, boundary facets, orientation.
+
+The reference delegates this layer to deal.II (`GridIn::read_msh`,
+`parallel::fullydistributed::Triangulation`; ref: src/NavierStokes2D.cpp:8-19).
+Here a mesh is four numpy arrays -- everything the device code needs is
+derived from them at setup time and shipped as static-shaped jnp arrays:
+
+  coords      [n_vertices, dim] float64
+  cells       [n_cells, dim+1]  int32   (simplex vertex ids, positive volume)
+  bface_verts [n_bfaces, dim]   int32   (boundary facet vertex ids)
+  bface_tag   [n_bfaces]        int32   (physical boundary tag)
+
+Boundary tags follow the reference's gmsh conventions: 0=inlet, 1=outlet,
+2=walls, 3=obstacle/Neumann (ref: mesh/Cylinder2D.geo:40-44).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Mesh:
+    coords: np.ndarray  # [n_v, dim] float64
+    cells: np.ndarray  # [n_c, dim+1] int32
+    bface_verts: np.ndarray  # [n_bf, dim] int32
+    bface_tag: np.ndarray  # [n_bf] int32
+
+    def __post_init__(self):
+        self.coords = np.asarray(self.coords, dtype=np.float64)
+        self.cells = np.asarray(self.cells, dtype=np.int32)
+        self.bface_verts = np.asarray(self.bface_verts, dtype=np.int32).reshape(
+            -1, self.dim
+        )
+        self.bface_tag = np.asarray(self.bface_tag, dtype=np.int32).reshape(-1)
+        self._fix_orientation()
+
+    @property
+    def dim(self) -> int:
+        return self.coords.shape[1]
+
+    @property
+    def n_vertices(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @property
+    def n_bfaces(self) -> int:
+        return self.bface_verts.shape[0]
+
+    # ------------------------------------------------------------------
+    def _fix_orientation(self) -> None:
+        """Permute cell vertices so every simplex has positive volume."""
+        v = self.coords[self.cells]  # [n_c, dim+1, dim]
+        e = v[:, 1:, :] - v[:, :1, :]  # [n_c, dim, dim]
+        det = np.linalg.det(e)
+        flip = det < 0.0
+        if np.any(flip):
+            cells = self.cells.copy()
+            # Swapping the last two vertices flips the sign of the volume.
+            cells[flip, -2], cells[flip, -1] = (
+                self.cells[flip, -1],
+                self.cells[flip, -2],
+            )
+            self.cells = cells
+        if np.any(np.isclose(np.abs(det), 0.0)):
+            raise ValueError("mesh contains degenerate (zero-volume) cells")
+
+    # ------------------------------------------------------------------
+    def cell_volumes(self) -> np.ndarray:
+        v = self.coords[self.cells]
+        e = v[:, 1:, :] - v[:, :1, :]
+        det = np.linalg.det(e)
+        fact = 2.0 if self.dim == 2 else 6.0
+        return det / fact
+
+    # ------------------------------------------------------------------
+    def _all_facets(self):
+        """All (cell, local) facets, vectorised.
+
+        Returns (facets_sorted [n_c*(d+1), d], cell_ids, local_ids), where
+        local facet k of a simplex is the facet opposite local vertex k.
+        """
+        dim, n_loc = self.dim, self.dim + 1
+        # facet k keeps every local vertex except k
+        keep = np.array(
+            [[j for j in range(n_loc) if j != k] for k in range(n_loc)],
+            dtype=np.int64,
+        )  # [n_loc, dim]
+        facets = self.cells[:, keep]  # [n_c, n_loc, dim]
+        facets = np.sort(facets.reshape(-1, dim), axis=1)
+        cell_ids = np.repeat(np.arange(self.n_cells, dtype=np.int32), n_loc)
+        local_ids = np.tile(np.arange(n_loc, dtype=np.int32), self.n_cells)
+        return facets, cell_ids, local_ids
+
+    @staticmethod
+    def _facet_keys(facets: np.ndarray) -> np.ndarray:
+        """Pack sorted facet vertex tuples into a single int64 key per facet."""
+        f = facets.astype(np.int64)
+        key = f[:, 0]
+        for j in range(1, f.shape[1]):
+            key = key * 2_000_003 + f[:, j]  # n_vertices << 2e6 per collision-free
+        return key
+
+    def boundary_face_parents(self):
+        """Locate the owning cell and local facet index for each boundary facet.
+
+        Returns (bface_cell [n_bf], bface_local [n_bf]).
+        """
+        facets, cell_ids, local_ids = self._all_facets()
+        keys = self._facet_keys(facets)
+        order = np.argsort(keys, kind="stable")
+        keys_sorted = keys[order]
+        bkeys = self._facet_keys(np.sort(self.bface_verts, axis=1))
+        pos = np.searchsorted(keys_sorted, bkeys)
+        ok = (pos < keys_sorted.shape[0]) & (keys_sorted[np.minimum(pos, len(keys_sorted) - 1)] == bkeys)
+        if not np.all(ok):
+            raise ValueError("some tagged boundary facets are not cell facets")
+        idx = order[pos]
+        return cell_ids[idx], local_ids[idx]
+
+    # ------------------------------------------------------------------
+    def check_boundary_closed(self) -> None:
+        """Every facet shared by exactly one cell must carry a boundary tag."""
+        facets, _, _ = self._all_facets()
+        keys = self._facet_keys(facets)
+        uniq, counts = np.unique(keys, return_counts=True)
+        boundary = set(uniq[counts == 1].tolist())
+        tagged = set(
+            self._facet_keys(np.sort(self.bface_verts, axis=1)).tolist()
+        )
+        missing = boundary - tagged
+        extra = tagged - boundary
+        if missing or extra:
+            raise ValueError(
+                f"boundary mismatch: {len(missing)} untagged, {len(extra)} bogus"
+            )

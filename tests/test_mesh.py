@@ -1,0 +1,96 @@
+"""Mesh generators, boundary extraction, msh round-trip."""
+
+import numpy as np
+import pytest
+
+from navierstokes_project_nm4pde_tpu.mesh import (
+    Mesh,
+    cube_mesh,
+    cylinder_channel_2d,
+    cylinder_duct_3d,
+    read_msh,
+    rectangle_mesh,
+    write_msh,
+)
+
+
+def test_rectangle_mesh_basic():
+    m = rectangle_mesh(4, 3, lx=2.0, ly=1.5)
+    assert m.dim == 2
+    assert m.n_cells == 4 * 3 * 2
+    np.testing.assert_allclose(m.cell_volumes().sum(), 3.0, rtol=1e-12)
+    assert np.all(m.cell_volumes() > 0)
+    m.check_boundary_closed()
+    # tags present: inlet, outlet, walls
+    assert set(np.unique(m.bface_tag)) == {0, 1, 2}
+
+
+def test_cube_mesh():
+    m = cube_mesh(4)
+    assert m.dim == 3
+    assert m.n_cells == 4**3 * 6
+    np.testing.assert_allclose(m.cell_volumes().sum(), 8.0, rtol=1e-12)
+    assert np.all(m.cell_volumes() > 0)
+    m.check_boundary_closed()
+    assert set(np.unique(m.bface_tag)) == {0, 1, 2, 3, 4, 5}
+    # Neumann face (tag 3) is y = -1 (ref: src/Convergence3D.cpp:303-332).
+    for fv in m.bface_verts[m.bface_tag == 3][:10]:
+        np.testing.assert_allclose(m.coords[fv][:, 1], -1.0, atol=1e-12)
+
+
+def test_boundary_face_parents():
+    m = cube_mesh(2)
+    bc, bl = m.boundary_face_parents()
+    # The facet must consist of exactly the parent cell's vertices minus one.
+    for f in range(m.n_bfaces):
+        cell = set(m.cells[bc[f]].tolist())
+        face = set(m.bface_verts[f].tolist())
+        assert face < cell
+        # opposite vertex is cells[bc][bl]
+        assert m.cells[bc[f]][bl[f]] not in face
+
+
+def test_cylinder_channel_2d():
+    m = cylinder_channel_2d(lc=0.08)
+    assert m.dim == 2
+    assert np.all(m.cell_volumes() > 0)
+    m.check_boundary_closed()
+    assert set(np.unique(m.bface_tag)) == {0, 1, 2, 3}
+    # Domain area = rectangle minus circle (polygonal, slightly less).
+    area = m.cell_volumes().sum()
+    exact = 2.2 * 0.41 - np.pi * 0.05**2
+    assert abs(area - exact) < 2e-3
+    # Cylinder facet vertices sit on the circle.
+    cyl = np.unique(m.bface_verts[m.bface_tag == 3])
+    r = np.linalg.norm(m.coords[cyl] - [0.2, 0.2], axis=1)
+    np.testing.assert_allclose(r, 0.05, rtol=1e-6)
+
+
+def test_cylinder_duct_3d():
+    m = cylinder_duct_3d(lc=0.1, nz=3)
+    assert m.dim == 3
+    assert np.all(m.cell_volumes() > 0)
+    m.check_boundary_closed()
+    assert set(np.unique(m.bface_tag)) == {0, 1, 2, 3}
+    vol = m.cell_volumes().sum()
+    exact = (2.5 * 0.41 - np.pi * 0.05**2) * 0.41
+    assert abs(vol - exact) / exact < 2e-2
+
+
+def test_msh_roundtrip(tmp_path):
+    m = cube_mesh(2)
+    path = str(tmp_path / "cube.msh")
+    write_msh(m, path)
+    m2 = read_msh(path)
+    np.testing.assert_allclose(m2.coords, m.coords)
+    assert m2.n_cells == m.n_cells
+    assert m2.n_bfaces == m.n_bfaces
+    np.testing.assert_allclose(m2.cell_volumes().sum(), 8.0, rtol=1e-12)
+    m2.check_boundary_closed()
+
+    m = cylinder_channel_2d(lc=0.1)
+    path = str(tmp_path / "cyl.msh")
+    write_msh(m, path)
+    m2 = read_msh(path)
+    assert m2.n_cells == m.n_cells
+    assert set(np.unique(m2.bface_tag)) == {0, 1, 2, 3}
