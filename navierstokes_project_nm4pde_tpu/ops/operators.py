@@ -1,0 +1,369 @@
+"""Matrix-free Navier-Stokes block operators (device, JAX).
+
+TPU-native replacement for the reference's assembled Trilinos block matrices
+and their SpMV (ref: src/NavierStokes2D.cpp:164-357, include/IncludesFile.hpp).
+Nothing global is ever assembled for the velocity block: each application is
+
+    gather (cell DoFs)  ->  shared-table einsums (MXU)  ->  sorted segment-sum
+
+The constant blocks (mass, stiffness, divergence, pressure mass) contract
+per-element geometry with the tiny reference tensors of `ops.tables`; the
+convection block C(w) is linearised at the previous velocity (ref:
+src/NavierStokes2D.cpp:253-256, including the Temam stabilisation term
+0.5*(div w)(u,v)) and is refreshed once per time step via `convection_setup`,
+after which every Krylov iteration reuses its quadrature tables.
+
+State layout: velocity `u[n_unodes, dim]`, pressure `p[n_pnodes]`.
+Block system (same algebra as the reference):
+
+    [ F(w)  G ] [u]   F = M/dt + nu*A + C(w),  G = -D^T (pressure gradient)
+    [ D     0 ] [p]   D = divergence
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_project_nm4pde_tpu.fem.geometry import CellGeometry
+from navierstokes_project_nm4pde_tpu.fem.space import TaylorHoodSpace
+from navierstokes_project_nm4pde_tpu.ops.tables import RefTables, build_ref_tables
+
+
+def _sorted_scatter(cells: np.ndarray, n_rows: int):
+    """Precompute a sorted segment-sum plan for cell->global scatter-add."""
+    flat = cells.reshape(-1).astype(np.int64)
+    order = np.argsort(flat, kind="stable")
+    seg = flat[order]
+    return order.astype(np.int32), seg.astype(np.int32), n_rows
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NSOperator:
+    """Static per-mesh operator data (a pytree of device arrays)."""
+
+    # connectivity
+    cells_u: jax.Array  # [E, n_loc_u] int32
+    cells_p: jax.Array  # [E, dim+1] int32
+    order_u: jax.Array  # scatter plan for the velocity space
+    seg_u: jax.Array
+    order_p: jax.Array  # scatter plan for the pressure space
+    seg_p: jax.Array
+    # geometry
+    detJ: jax.Array  # [E]
+    Jinv: jax.Array  # [E, dim, dim]
+    GKd: jax.Array  # [E, dim, dim] = detJ * Jinv @ Jinv^T
+    # reference tables
+    W: jax.Array
+    PHI_U: jax.Array
+    GRAD_U: jax.Array
+    PHI_P: jax.Array
+    MHAT: jax.Array
+    MPHAT: jax.Array
+    AHAT: jax.Array  # [dim, dim, nu, nu]
+    BHAT: jax.Array  # [dim, np, nu]
+    # host-assembled global diagonals (scalar velocity space / pressure space)
+    diagM: jax.Array  # [n_unodes] mass diag (unscaled by dt)
+    diagA: jax.Array  # [n_unodes] stiffness diag (unscaled by nu)
+    lumpM: jax.Array  # [n_unodes] abs-lumped mass (unscaled by dt)
+    diagMp: jax.Array  # [n_pnodes] pressure-mass diag
+    # Schur support: divergence matrix rows in padded ELL form
+    D_cols: jax.Array  # [n_pnodes, Wd] int32 (padded with 0)
+    D_vals: jax.Array  # [n_pnodes, Wd, dim] (padded with 0)
+    # Dirichlet
+    dirichlet_mask: jax.Array  # [n_unodes] bool
+
+    @property
+    def dim(self) -> int:
+        return self.Jinv.shape[-1]
+
+    @property
+    def n_unodes(self) -> int:
+        return self.diagM.shape[0]
+
+    @property
+    def n_pnodes(self) -> int:
+        return self.diagMp.shape[0]
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells_u.shape[0]
+
+
+# ----------------------------------------------------------------------
+# Construction (host)
+# ----------------------------------------------------------------------
+def build_operator(
+    space: TaylorHoodSpace,
+    geom: CellGeometry,
+    dirichlet_mask: np.ndarray,
+    dtype=jnp.float32,
+    tables: RefTables | None = None,
+) -> NSOperator:
+    dim = space.dim
+    t = tables or build_ref_tables(dim)
+    E = space.mesh.n_cells
+
+    GK = np.einsum("ekd,eld->ekl", geom.Jinv, geom.Jinv)
+    GKd = GK * geom.detJ[:, None, None]
+
+    # Global diagonals (float64 host assembly).
+    diagM = np.zeros(space.n_unodes)
+    diagA = np.zeros(space.n_unodes)
+    lumpM = np.zeros(space.n_unodes)
+    diagMp = np.zeros(space.n_pnodes)
+    mdiag_e = geom.detJ[:, None] * np.diag(t.MHAT)[None, :]
+    adiag_ref = np.einsum("klii->kli", t.AHAT)  # [dim, dim, n_loc_u]
+    adiag_e = np.einsum("ekl,kli->ei", GKd, adiag_ref)
+    lump_e = geom.detJ[:, None] * np.sum(np.abs(t.MHAT), axis=1)[None, :]
+    mpdiag_e = geom.detJ[:, None] * np.diag(t.MPHAT)[None, :]
+    np.add.at(diagM, space.cells_u, mdiag_e)
+    np.add.at(diagA, space.cells_u, adiag_e)
+    np.add.at(lumpM, space.cells_u, lump_e)
+    np.add.at(diagMp, space.cells_p, mpdiag_e)
+
+    # Divergence matrix in padded ELL (for Schur diagonals / SpMV).
+    D_cols, D_vals = _assemble_divergence_ell(space, geom, t)
+
+    order_u, seg_u, _ = _sorted_scatter(space.cells_u, space.n_unodes)
+    order_p, seg_p, _ = _sorted_scatter(space.cells_p, space.n_pnodes)
+
+    dev = lambda x: jnp.asarray(x, dtype=dtype)  # noqa: E731
+    idx = lambda x: jnp.asarray(x, dtype=jnp.int32)  # noqa: E731
+
+    return NSOperator(
+        cells_u=idx(space.cells_u),
+        cells_p=idx(space.cells_p),
+        order_u=idx(order_u),
+        seg_u=idx(seg_u),
+        order_p=idx(order_p),
+        seg_p=idx(seg_p),
+        detJ=dev(geom.detJ),
+        Jinv=dev(geom.Jinv),
+        GKd=dev(GKd),
+        W=dev(t.W),
+        PHI_U=dev(t.PHI_U),
+        GRAD_U=dev(t.GRAD_U),
+        PHI_P=dev(t.PHI_P),
+        MHAT=dev(t.MHAT),
+        MPHAT=dev(t.MPHAT),
+        AHAT=dev(t.AHAT),
+        BHAT=dev(t.BHAT),
+        diagM=dev(diagM),
+        diagA=dev(diagA),
+        lumpM=dev(lumpM),
+        diagMp=dev(diagMp),
+        D_cols=idx(D_cols),
+        D_vals=dev(D_vals),
+        dirichlet_mask=jnp.asarray(dirichlet_mask, dtype=bool),
+    )
+
+
+def _assemble_divergence_ell(space: TaylorHoodSpace, geom: CellGeometry, t: RefTables):
+    """Assemble D (pressure rows x velocity-node cols, one value per velocity
+    component) into padded ELL: cols [n_p, W], vals [n_p, W, dim]."""
+    dim = space.dim
+    E = space.mesh.n_cells
+    n_locp, n_locu = t.PHI_P.shape[1], t.PHI_U.shape[1]
+    # element divergence blocks: D_e[i, j, c] = detJ * sum_k Jinv[k,c] BHAT[k,i,j]
+    D_e = np.einsum("ekc,kij->eijc", geom.Jinv, t.BHAT) * geom.detJ[:, None, None, None]
+    rows = np.repeat(space.cells_p.astype(np.int64), n_locu, axis=1).reshape(-1)
+    cols = np.tile(space.cells_u.astype(np.int64), (1, n_locp)).reshape(-1)
+    vals = D_e.transpose(0, 1, 2, 3).reshape(-1, dim)  # [(E*n_locp*n_locu), dim]
+
+    key = rows * np.int64(space.n_unodes) + cols
+    order = np.argsort(key, kind="stable")
+    key_s, rows_s, vals_s = key[order], rows[order], vals[order]
+    uniq, start = np.unique(key_s, return_index=True)
+    # reduce duplicate (row, col) pairs
+    red = np.add.reduceat(vals_s, start, axis=0)
+    urow = (uniq // space.n_unodes).astype(np.int64)
+    ucol = (uniq % space.n_unodes).astype(np.int64)
+    counts = np.bincount(urow, minlength=space.n_pnodes)
+    Wd = int(counts.max())
+    slot = np.arange(uniq.shape[0]) - np.concatenate([[0], np.cumsum(counts)[:-1]])[urow]
+    D_cols = np.zeros((space.n_pnodes, Wd), dtype=np.int64)
+    D_vals = np.zeros((space.n_pnodes, Wd, dim))
+    D_cols[urow, slot] = ucol
+    D_vals[urow, slot] = red
+    return D_cols, D_vals
+
+
+# ----------------------------------------------------------------------
+# Gather / scatter
+# ----------------------------------------------------------------------
+def gather_u(op: NSOperator, u: jax.Array) -> jax.Array:
+    return u[op.cells_u]  # [E, n_loc_u, dim]
+
+
+def gather_p(op: NSOperator, p: jax.Array) -> jax.Array:
+    return p[op.cells_p]  # [E, dim+1]
+
+
+def scatter_u(op: NSOperator, y_e: jax.Array) -> jax.Array:
+    """[E, n_loc_u, dim] element contributions -> [n_unodes, dim]."""
+    flat = y_e.reshape(-1, y_e.shape[-1])
+    return jax.ops.segment_sum(
+        flat[op.order_u], op.seg_u, num_segments=op.n_unodes,
+        indices_are_sorted=True,
+    )
+
+
+def scatter_p(op: NSOperator, y_e: jax.Array) -> jax.Array:
+    flat = y_e.reshape(-1)
+    return jax.ops.segment_sum(
+        flat[op.order_p], op.seg_p, num_segments=op.n_pnodes,
+        indices_are_sorted=True,
+    )
+
+
+# ----------------------------------------------------------------------
+# Constant blocks
+# ----------------------------------------------------------------------
+def apply_mass(op: NSOperator, u: jax.Array) -> jax.Array:
+    """y = M u (velocity mass, unscaled; scale by 1/dt at the call site)."""
+    u_e = gather_u(op, u)
+    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * op.detJ[:, None, None]
+    return scatter_u(op, y_e)
+
+
+def apply_stiffness(op: NSOperator, u: jax.Array) -> jax.Array:
+    """y = A u (vector Laplacian, unscaled by nu)."""
+    u_e = gather_u(op, u)
+    y_e = jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
+    return scatter_u(op, y_e)
+
+
+def apply_divergence(op: NSOperator, u: jax.Array) -> jax.Array:
+    """y = D u : continuity rows (q, div u) (ref: src/NavierStokes2D.cpp:262)."""
+    u_e = gather_u(op, u)
+    y_e = jnp.einsum("ekc,kij,ejc->ei", op.Jinv, op.BHAT, u_e) * op.detJ[:, None]
+    return scatter_p(op, y_e)
+
+
+def apply_gradient(op: NSOperator, p: jax.Array) -> jax.Array:
+    """y = G p = -D^T p : momentum rows -(p, div v) (ref: src/NavierStokes2D.cpp:259)."""
+    p_e = gather_p(op, p)
+    y_e = -jnp.einsum("ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e) * op.detJ[:, None, None]
+    return scatter_u(op, y_e)
+
+
+def apply_pressure_mass(op: NSOperator, p: jax.Array) -> jax.Array:
+    """y = Mp p (unscaled; the reference scales by 1/nu at assembly:
+    src/NavierStokes2D.cpp:265)."""
+    p_e = gather_p(op, p)
+    y_e = jnp.einsum("ij,ej->ei", op.MPHAT, p_e) * op.detJ[:, None]
+    return scatter_p(op, y_e)
+
+
+# ----------------------------------------------------------------------
+# Convection C(w): refreshed once per time step
+# ----------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ConvectionData:
+    WG: jax.Array  # [E, q, n_loc_u]  (w . grad phi_i)(x_q)
+    divw: jax.Array  # [E, q]          div w (x_q)
+    diagC: jax.Array  # [n_unodes]     global diagonal of C(w)
+
+
+def convection_setup(op: NSOperator, w: jax.Array) -> ConvectionData:
+    """Tabulate the linearised convection + Temam term at quadrature points.
+
+    Mirrors `assemble_time_step` rebuilding only C(u_n)
+    (ref: src/NavierStokes2D.cpp:361-527)."""
+    w_e = gather_u(op, w)  # [E, nu, dim]
+    w_q = jnp.einsum("qi,eic->eqc", op.PHI_U, w_e)
+    wtilde = jnp.einsum("ekd,eqd->eqk", op.Jinv, w_q)
+    WG = jnp.einsum("qik,eqk->eqi", op.GRAD_U, wtilde)
+    gref = jnp.einsum("qik,eic->eqkc", op.GRAD_U, w_e)
+    divw = jnp.einsum("eqkc,ekc->eq", gref, op.Jinv)
+    # diagonal: sum_q jxw * (WG_i * phi_i + 0.5 * divw * phi_i^2)
+    d_e = jnp.einsum(
+        "q,eqi,qi->ei", op.W, WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
+        op.PHI_U,
+    ) * op.detJ[:, None]
+    diagC = jax.ops.segment_sum(
+        d_e.reshape(-1)[op.order_u], op.seg_u, num_segments=op.n_unodes,
+        indices_are_sorted=True,
+    )
+    return ConvectionData(WG=WG, divw=divw, diagC=diagC)
+
+
+def apply_convection(op: NSOperator, conv: ConvectionData, u: jax.Array) -> jax.Array:
+    """y = C(w) u = ((w.grad)u, v) + 0.5((div w) u, v)."""
+    u_e = gather_u(op, u)
+    u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
+    dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
+    r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+    y_e = jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
+    return scatter_u(op, y_e)
+
+
+# ----------------------------------------------------------------------
+# The time-step velocity block F = M/dt + nu*A + C(w) and the full system
+# ----------------------------------------------------------------------
+def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -> jax.Array:
+    u_e = gather_u(op, u)
+    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
+    y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
+    if conv is not None:
+        u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
+        dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
+        r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+        y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
+    return scatter_u(op, y_e)
+
+
+def diag_F(op: NSOperator, nu, dt, conv: ConvectionData | None) -> jax.Array:
+    d = op.diagM / dt + nu * op.diagA
+    if conv is not None:
+        d = d + conv.diagC
+    return d
+
+
+def apply_system(op: NSOperator, nu, dt, conv, u, p, mask_rows: bool = True):
+    """Full saddle-point operator with Dirichlet row elimination.
+
+    Constrained velocity rows become identity rows, mirroring
+    `MatrixTools::apply_boundary_values` with eliminate_columns=false
+    (ref: src/NavierStokes2D.cpp:354)."""
+    y_u = apply_F(op, nu, dt, conv, u) + apply_gradient(op, p)
+    y_p = apply_divergence(op, u)
+    if mask_rows:
+        y_u = jnp.where(op.dirichlet_mask[:, None], u, y_u)
+    return y_u, y_p
+
+
+# ----------------------------------------------------------------------
+# Schur-complement support: S = D diag(F)^-1 D^T via the ELL rows of D
+# ----------------------------------------------------------------------
+def apply_D_ell(op: NSOperator, u: jax.Array) -> jax.Array:
+    """D u via the assembled ELL rows (identical result to apply_divergence)."""
+    ug = u[op.D_cols]  # [n_p, Wd, dim]
+    return jnp.einsum("pwc,pwc->p", op.D_vals, ug)
+
+
+def apply_Dt_ell(op: NSOperator, p: jax.Array, mask=None) -> jax.Array:
+    """D^T p (velocity space). Computed element-free via scatter of ELL rows
+    would need a transpose plan; use the element path instead."""
+    return -apply_gradient(op, p)
+
+
+def schur_diag(op: NSOperator, inv_diag_F: jax.Array, mask: jax.Array) -> jax.Array:
+    """diag(S~) with S~ = D diag(F)^-1 D^T, excluding Dirichlet-masked
+    velocity columns (their F rows are identity rows)."""
+    w = jnp.where(mask[op.D_cols], 0.0, inv_diag_F[op.D_cols])  # [n_p, Wd]
+    return jnp.einsum("pwc,pw->p", op.D_vals**2, w)
+
+
+def apply_schur(op: NSOperator, inv_diag_F: jax.Array, p: jax.Array) -> jax.Array:
+    """S~ p = D diag(F)^-1 D^T p with Dirichlet velocity columns masked out."""
+    g = -apply_gradient(op, p)  # D^T p
+    g = jnp.where(op.dirichlet_mask[:, None], 0.0, g) * inv_diag_F[:, None]
+    return apply_divergence(op, g)

@@ -1,0 +1,215 @@
+"""Matrix-free operators vs an independent dense assembly (numpy loops).
+
+This is the test the reference never had: every block (M, A, D, G, Mp, C(w))
+is checked against a direct quadrature-loop dense assembly on small meshes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_project_nm4pde_tpu.fem import quadrature as quad
+from navierstokes_project_nm4pde_tpu.fem import reference as ref
+from navierstokes_project_nm4pde_tpu.fem.geometry import cell_geometry
+from navierstokes_project_nm4pde_tpu.fem.space import build_taylor_hood
+from navierstokes_project_nm4pde_tpu.mesh import cube_mesh, rectangle_mesh
+from navierstokes_project_nm4pde_tpu.ops import operators as ops
+
+
+def dense_blocks(space, nu=1.0):
+    """Independent dense assembly of M, A, D, Mp and node coords."""
+    dim = space.dim
+    mesh = space.mesh
+    pts, w = quad.cell_rule(dim, 5)
+    phi = ref.p2_shape(pts, dim)  # [q, nu]
+    gref = ref.p2_grad(pts, dim)  # [q, nu, dim]
+    phip = ref.p1_shape(pts, dim)  # [q, np]
+    nU, nP = space.n_unodes, space.n_pnodes
+    M = np.zeros((nU, nU))
+    A = np.zeros((nU, nU))
+    D = np.zeros((nP, nU, dim))
+    Mp = np.zeros((nP, nP))
+    for e in range(mesh.n_cells):
+        vid = mesh.cells[e]
+        v = mesh.coords[vid]
+        J = (v[1:] - v[:1]).T
+        detJ = np.linalg.det(J)
+        Jinv = np.linalg.inv(J)
+        gphys = np.einsum("qik,kd->qid", gref, Jinv)  # [q, nu, dim]
+        iu = space.cells_u[e]
+        ip = space.cells_p[e]
+        Me = detJ * np.einsum("q,qi,qj->ij", w, phi, phi)
+        Ae = detJ * np.einsum("q,qid,qjd->ij", w, gphys, gphys)
+        De = detJ * np.einsum("q,qi,qjc->ijc", w, phip, gphys)
+        Mpe = detJ * np.einsum("q,qi,qj->ij", w, phip, phip)
+        M[np.ix_(iu, iu)] += Me
+        A[np.ix_(iu, iu)] += Ae
+        for c in range(dim):
+            D[np.ix_(ip, iu, [c])] += De[:, :, c][:, :, None]
+        Mp[np.ix_(ip, ip)] += Mpe
+    return M, A, D, Mp
+
+
+def dense_convection(space, wfield):
+    """Dense scalar convection block C(w) including the Temam term."""
+    dim = space.dim
+    mesh = space.mesh
+    pts, w = quad.cell_rule(dim, 5)
+    phi = ref.p2_shape(pts, dim)
+    gref = ref.p2_grad(pts, dim)
+    nU = space.n_unodes
+    C = np.zeros((nU, nU))
+    for e in range(mesh.n_cells):
+        v = mesh.coords[mesh.cells[e]]
+        J = (v[1:] - v[:1]).T
+        detJ = np.linalg.det(J)
+        Jinv = np.linalg.inv(J)
+        gphys = np.einsum("qik,kd->qid", gref, Jinv)
+        iu = space.cells_u[e]
+        we = wfield[iu]  # [nu, dim]
+        w_q = np.einsum("qi,id->qd", phi, we)
+        divw_q = np.einsum("qid,id->q", gphys, we)
+        # (w . grad phi_j) phi_i + 0.5 divw phi_i phi_j
+        Ce = detJ * np.einsum(
+            "q,qi,qj->ij", w, phi, np.einsum("qjd,qd->qj", gphys, w_q)
+        )
+        Ce += detJ * 0.5 * np.einsum("q,q,qi,qj->ij", w, divw_q, phi, phi)
+        C[np.ix_(iu, iu)] += Ce
+    return C
+
+
+@pytest.fixture(scope="module", params=[2, 3], ids=["tri", "tet"])
+def setup(request):
+    dim = request.param
+    if dim == 2:
+        mesh = rectangle_mesh(3, 2, lx=1.3, ly=0.9)
+    else:
+        mesh = cube_mesh(2)
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0, 2]) if dim == 2 else space.dirichlet_mask([0])
+    op = ops.build_operator(space, geom, mask, dtype=jnp.float64)
+    return space, geom, op
+
+
+def test_mass_and_stiffness(setup):
+    space, geom, op = setup
+    M, A, D, Mp = dense_blocks(space)
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(space.n_unodes, space.dim))
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_mass(op, jnp.asarray(u))), M @ u, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_stiffness(op, jnp.asarray(u))), A @ u, rtol=1e-10, atol=1e-12
+    )
+    # diagonals
+    np.testing.assert_allclose(np.asarray(op.diagM), np.diag(M), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.diagA), np.diag(A), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.diagMp), np.diag(Mp), rtol=1e-10)
+
+
+def test_divergence_gradient_adjoint(setup):
+    space, geom, op = setup
+    M, A, D, Mp = dense_blocks(space)
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(space.n_unodes, space.dim))
+    p = rng.normal(size=space.n_pnodes)
+    Du = np.einsum("pic,ic->p", D, u)
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_divergence(op, jnp.asarray(u))), Du, rtol=1e-10, atol=1e-12
+    )
+    Gp = -np.einsum("pic,p->ic", D, p)
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_gradient(op, jnp.asarray(p))), Gp, rtol=1e-10, atol=1e-12
+    )
+    # ELL path agrees with element path
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_D_ell(op, jnp.asarray(u))), Du, rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_pressure_mass(op, jnp.asarray(p))), Mp @ p,
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_convection(setup):
+    space, geom, op = setup
+    rng = np.random.default_rng(2)
+    wf = rng.normal(size=(space.n_unodes, space.dim))
+    u = rng.normal(size=(space.n_unodes, space.dim))
+    conv = ops.convection_setup(op, jnp.asarray(wf))
+    C = dense_convection(space, wf)
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_convection(op, conv, jnp.asarray(u))), C @ u,
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(np.asarray(conv.diagC), np.diag(C), rtol=1e-9, atol=1e-12)
+
+
+def test_apply_F_consistency(setup):
+    space, geom, op = setup
+    rng = np.random.default_rng(3)
+    wf = rng.normal(size=(space.n_unodes, space.dim))
+    u = rng.normal(size=(space.n_unodes, space.dim))
+    nu, dt = 0.01, 0.05
+    conv = ops.convection_setup(op, jnp.asarray(wf))
+    y = ops.apply_F(op, nu, dt, conv, jnp.asarray(u))
+    y2 = (
+        np.asarray(ops.apply_mass(op, jnp.asarray(u))) / dt
+        + nu * np.asarray(ops.apply_stiffness(op, jnp.asarray(u)))
+        + np.asarray(ops.apply_convection(op, conv, jnp.asarray(u)))
+    )
+    np.testing.assert_allclose(np.asarray(y), y2, rtol=1e-9, atol=1e-11)
+    d = ops.diag_F(op, nu, dt, conv)
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(op.diagM) / dt + nu * np.asarray(op.diagA) + np.asarray(conv.diagC),
+        rtol=1e-12,
+    )
+
+
+def test_schur(setup):
+    space, geom, op = setup
+    M, A, D, Mp = dense_blocks(space)
+    Dm = D.transpose(0, 2, 1).reshape(space.n_pnodes, -1)  # [(p),(c,i)] -> careful
+    # Build dense D over flattened velocity dofs ordered (node, comp).
+    Dm = D.reshape(space.n_pnodes, -1)  # [p, i*dim + c] since D is [p, i, c]
+    rng = np.random.default_rng(4)
+    diagF = rng.uniform(1.0, 2.0, size=space.n_unodes)
+    mask = np.asarray(op.dirichlet_mask)
+    inv = 1.0 / diagF
+    inv_full = np.repeat(inv, space.dim) * ~np.repeat(mask, space.dim)
+    S = Dm @ np.diag(inv_full) @ Dm.T
+    np.testing.assert_allclose(
+        np.asarray(ops.schur_diag(op, jnp.asarray(inv), op.dirichlet_mask)),
+        np.diag(S), rtol=1e-10, atol=1e-12,
+    )
+    p = rng.normal(size=space.n_pnodes)
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_schur(op, jnp.asarray(inv), jnp.asarray(p))),
+        S @ p, rtol=1e-9, atol=1e-11,
+    )
+
+
+def test_divergence_theorem(setup):
+    """D applied to a linear field integrates div u against each P1 basis;
+    summing all pressure rows gives int_Omega div u = boundary flux."""
+    space, geom, op = setup
+    dim = space.dim
+    coords = space.unode_coords
+    # u = x  ->  div u = dim
+    u = coords.copy()
+    total = float(np.asarray(ops.apply_divergence(op, jnp.asarray(u))).sum())
+    vol = space.mesh.cell_volumes().sum()
+    np.testing.assert_allclose(total, dim * vol, rtol=1e-10)
+
+
+def test_stiffness_annihilates_linears(setup):
+    """A u = 0 at interior rows for linear u (Laplace of linear = 0)."""
+    space, geom, op = setup
+    coords = space.unode_coords
+    u = coords @ np.arange(1.0, space.dim + 1.0)  # scalar linear field
+    uv = np.stack([u] * space.dim, axis=1)
+    y = np.asarray(ops.apply_stiffness(op, jnp.asarray(uv)))
+    interior = ~space.dirichlet_mask(list(range(6)))  # all tags = full boundary
+    assert np.abs(y[interior]).max() < 1e-10
