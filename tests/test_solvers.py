@@ -1,0 +1,120 @@
+"""Krylov solver tests on manufactured SPD / nonsymmetric / saddle systems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_project_nm4pde_tpu.solvers import cg, cg_fixed, fgmres, gmres_fixed
+
+
+def make_spd(n, cond=100.0, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    d = np.geomspace(1.0, cond, n)
+    return Q @ np.diag(d) @ Q.T
+
+
+def test_cg_spd():
+    n = 80
+    A = make_spd(n)
+    rng = np.random.default_rng(1)
+    xex = rng.normal(size=n)
+    b = A @ xex
+    Aj = jnp.asarray(A)
+    x, info = cg(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(x), xex, rtol=1e-6, atol=1e-7)
+    assert int(info.iters) <= n
+
+
+def test_cg_jacobi_preconditioned():
+    n = 80
+    A = make_spd(n, cond=1e4)
+    A += np.diag(np.linspace(1, 50, n))
+    rng = np.random.default_rng(2)
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+    d = jnp.asarray(1.0 / np.diag(A))
+    x_p, info_p = cg(lambda v: Aj @ v, jnp.asarray(b), M=lambda v: d * v, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Aj @ x_p), b, atol=1e-7)
+
+
+def test_fgmres_nonsymmetric():
+    n = 60
+    rng = np.random.default_rng(3)
+    A = np.eye(n) * 4 + 0.5 * rng.normal(size=(n, n))
+    xex = rng.normal(size=n)
+    b = A @ xex
+    Aj = jnp.asarray(A)
+    x, info = fgmres(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-10, restart=30)
+    np.testing.assert_allclose(np.asarray(x), xex, rtol=1e-6, atol=1e-8)
+
+
+def test_fgmres_restarts_and_info():
+    n = 120
+    A = make_spd(n, cond=500.0, seed=4)
+    rng = np.random.default_rng(4)
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+    x, info = fgmres(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-8, restart=20, maxiter=400)
+    r = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    assert r < 1e-7
+    assert int(info.iters) > 20  # must have restarted
+
+
+def test_fgmres_with_nonstationary_preconditioner():
+    """Flexible GMRES must converge when M itself is an inner Krylov solve."""
+    n = 100
+    A = make_spd(n, cond=1e3, seed=5)
+    rng = np.random.default_rng(5)
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+    d = jnp.asarray(1.0 / np.diag(A))
+
+    def M(v):
+        return cg_fixed(lambda w: Aj @ w, v, lambda w: d * w, iters=5)
+
+    x, info = fgmres(lambda v: Aj @ v, jnp.asarray(b), M=M, rtol=1e-8, restart=40)
+    r = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    assert r < 1e-7
+    # inner acceleration should cut outer iterations well below unpreconditioned
+    _, info0 = fgmres(lambda v: Aj @ v, jnp.asarray(b), rtol=1e-8, restart=40)
+    assert int(info.iters) < int(info0.iters)
+
+
+def test_gmres_fixed_reduces_residual():
+    n = 90
+    rng = np.random.default_rng(6)
+    A = np.eye(n) * 5 + rng.normal(size=(n, n)) * 0.3
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+    d = jnp.asarray(1.0 / np.diag(A))
+    x = gmres_fixed(lambda v: Aj @ v, jnp.asarray(b), lambda v: d * v, iters=10)
+    r = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    assert r < 1e-2
+
+
+def test_cg_fixed_matches_cg():
+    n = 50
+    A = make_spd(n, cond=50.0, seed=7)
+    rng = np.random.default_rng(7)
+    b = rng.normal(size=n)
+    Aj = jnp.asarray(A)
+    x = cg_fixed(lambda v: Aj @ v, jnp.asarray(b), lambda v: v, iters=n)
+    np.testing.assert_allclose(np.asarray(Aj @ x), b, atol=1e-6)
+
+
+def test_solvers_jittable():
+    n = 40
+    A = make_spd(n, seed=8)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(np.random.default_rng(8).normal(size=n))
+
+    @jax.jit
+    def solve(b):
+        x, info = fgmres(lambda v: Aj @ v, b, rtol=1e-8, restart=20)
+        return x, info.iters
+
+    x, iters = solve(b)
+    r = np.linalg.norm(np.asarray(b) - A @ np.asarray(x))
+    assert r < 1e-6 * np.linalg.norm(np.asarray(b)) * 10
