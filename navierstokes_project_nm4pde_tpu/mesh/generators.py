@@ -96,9 +96,12 @@ _KUHN_PERMS = (
 def cube_mesh(n: int, lo=-1.0, hi=1.0) -> Mesh:
     """n x n x n hexes, 6 tets each (all sharing the main diagonal).
 
-    Tags (matching the convergence solver's usage: Dirichlet on
-    {0,1,2,4,5}, Neumann on 3 = face y=lo; ref: src/Convergence3D.cpp:303-380):
-      0: x=lo   1: x=hi   2: y=hi   3: y=lo   4: z=lo   5: z=hi
+    Tags (matching the convergence solver's usage: Dirichlet on {0,1,2,4,5},
+    Neumann on 3; ref: src/Convergence3D.cpp:303-380).  The reference's
+    comment places the Neumann face at y=-1, but its hand-written h equals
+    nu*du/dy - p*e_y, i.e. outward normal (0,+1,0); we therefore tag y=hi
+    as 3 (see models/ethier_steinman.py docstring):
+      0: x=lo   1: x=hi   2: y=lo   3: y=hi   4: z=lo   5: z=hi
     """
     xs = np.linspace(lo, hi, n + 1)
     m = n + 1
@@ -136,8 +139,8 @@ def cube_mesh(n: int, lo=-1.0, hi=1.0) -> Mesh:
     tag = np.full(bf.shape[0], -1, dtype=np.int32)
     tag[np.abs(mid[:, 0] - lo) < eps] = 0
     tag[np.abs(mid[:, 0] - hi) < eps] = 1
-    tag[np.abs(mid[:, 1] - hi) < eps] = 2
-    tag[np.abs(mid[:, 1] - lo) < eps] = 3
+    tag[np.abs(mid[:, 1] - lo) < eps] = 2
+    tag[np.abs(mid[:, 1] - hi) < eps] = 3
     tag[np.abs(mid[:, 2] - lo) < eps] = 4
     tag[np.abs(mid[:, 2] - hi) < eps] = 5
     if np.any(tag < 0):

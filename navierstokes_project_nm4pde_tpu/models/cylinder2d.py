@@ -1,0 +1,78 @@
+"""DFG 2D flow-past-a-cylinder benchmark problem.
+
+Mirrors the reference's 2D setup: channel 2.2 x 0.41, cylinder r=0.05 at
+(0.2, 0.2), P2-P1, nu=1e-3, parabolic inlet with three test cases
+(ref: include/NavierStokes2D.hpp:18-81, src/main2D.cpp:14-22):
+
+  case 1: zero inflow
+  case 2: 4 u_m y (H-y) sin(pi t / 8) / H^2   (time-ramped, the default)
+  case 3: 4 u_m y (H-y) / H^2                 (steady)
+
+with u_m = 1.5, H = 0.41.  `mean_velocity` reproduces the reference's
+`getMeanVelocity` switch verbatim -- including its case-2/3 swap of the
+sin factor (ref: include/NavierStokes2D.hpp:64-75) -- because the drag/lift
+coefficient normalisation must match for benchmark parity.
+
+Boundary tags: 0=inlet (Dirichlet inlet profile), 1=outlet (natural),
+2=walls (no slip), 3=cylinder (no slip + force integration)
+(ref: mesh/Cylinder2D.geo:40-44, src/NavierStokes2D.cpp:332-352).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from navierstokes_project_nm4pde_tpu.models.base import ProblemSpec
+
+H = 0.41
+U_M = 1.5
+NU = 1e-3
+DIAMETER = 0.1
+PROBE_A = (0.45, 0.2)
+PROBE_B = (0.55, 0.2)
+
+
+def _inlet_profile(test_case: int):
+    def g(x, t):
+        y = x[:, 1]
+        para = 4.0 * U_M * y * (H - y) / (H * H)
+        if test_case == 1:
+            ux = jnp.zeros_like(y)
+        elif test_case == 2:
+            ux = para * jnp.sin(jnp.pi * t / 8.0)
+        else:
+            ux = para
+        return jnp.stack([ux, jnp.zeros_like(ux)], axis=1)
+
+    return g
+
+
+def _mean_velocity(test_case: int):
+    def U(t):
+        if test_case == 1:
+            return jnp.asarray(0.0)
+        if test_case == 3:
+            return 2.0 * U_M * jnp.sin(t * jnp.pi / 8.0) / 3.0
+        return jnp.asarray(2.0 * U_M / 3.0)
+
+    return U
+
+
+def _zero(x, t):
+    return jnp.zeros_like(x)
+
+
+def Cylinder2DProblem(test_case: int = 2, nu: float = NU) -> ProblemSpec:
+    return ProblemSpec(
+        dim=2,
+        nu=nu,
+        dirichlet={
+            0: _inlet_profile(test_case),
+            2: _zero,
+            3: _zero,
+        },
+        obstacle_tag=3,
+        probe_points=(PROBE_A, PROBE_B),
+        mean_velocity=_mean_velocity(test_case),
+        diameter=DIAMETER,
+    )

@@ -1,0 +1,214 @@
+"""Benchmark functionals: drag/lift, pressure probes, error norms.
+
+Replaces the reference's `compute_forces` (2D full-stress formula:
+src/NavierStokes2D.cpp:752-859; 3D tangent-derivative formula:
+src/NavierStokes3D.cpp:780-840), `compute_pressure_difference`
+(src/NavierStokes2D.cpp:862-936) and `compute_error`
+(src/Convergence3D.cpp:766-794).  All functionals are batched reductions
+over precomputed boundary tables -- on a sharded mesh the sums become
+`psum` collectives automatically under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_project_nm4pde_tpu.fem import quadrature as quad
+from navierstokes_project_nm4pde_tpu.fem import reference as ref
+from navierstokes_project_nm4pde_tpu.fem.geometry import BoundaryTables, CellGeometry
+from navierstokes_project_nm4pde_tpu.fem.space import TaylorHoodSpace
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ForceTables:
+    """Device-side tables restricted to the obstacle facets (tag 3)."""
+
+    cells_u: jax.Array  # [nf, n_loc_u]
+    cells_p: jax.Array  # [nf, dim+1]
+    phi_u: jax.Array  # [nf, q, n_loc_u]
+    grad_u: jax.Array  # [nf, q, n_loc_u, dim]
+    phi_p: jax.Array  # [nf, q, dim+1]
+    jxw: jax.Array  # [nf, q]
+    normal: jax.Array  # [nf, dim] outward (out of the fluid, into the body)
+
+
+def build_force_tables(
+    space: TaylorHoodSpace, bt: BoundaryTables, tag: int = 3, dtype=jnp.float32
+) -> ForceTables:
+    sel = np.where(bt.tag == tag)[0]
+    dev = lambda x: jnp.asarray(x[sel], dtype=dtype)  # noqa: E731
+    return ForceTables(
+        cells_u=jnp.asarray(space.cells_u[bt.cell[sel]], dtype=jnp.int32),
+        cells_p=jnp.asarray(space.cells_p[bt.cell[sel]], dtype=jnp.int32),
+        phi_u=dev(bt.phi_u),
+        grad_u=dev(bt.grad_u),
+        phi_p=dev(bt.phi_p),
+        jxw=dev(bt.jxw),
+        normal=dev(bt.normal),
+    )
+
+
+def forces_2d(ft: ForceTables, u: jax.Array, p: jax.Array, nu):
+    """(drag, lift) from the full stress integral over the obstacle.
+
+    sigma = nu * grad(u) - p I contracted with the into-body normal
+    (ref: src/NavierStokes2D.cpp:818-837; note the reference uses the
+    *non-symmetric* gradient, so we do too)."""
+    u_e = u[ft.cells_u]  # [f, n, dim]
+    p_e = p[ft.cells_p]  # [f, np]
+    gu = jnp.einsum("fqid,fic->fqcd", ft.grad_u, u_e)  # grad u [c, d]
+    p_q = jnp.einsum("fqi,fi->fq", ft.phi_p, p_e)
+    n = -ft.normal  # into the body, as the reference flips it (:821)
+    trac = nu * jnp.einsum("fqcd,fd->fqc", gu, n) - p_q[:, :, None] * n[:, None, :]
+    force = jnp.einsum("fqc,fq->c", trac, ft.jxw)
+    return force[0], force[1]
+
+
+def forces_3d(ft: ForceTables, u: jax.Array, p: jax.Array, nu, rho=1.0):
+    """(drag, lift) via the reference's 3D tangent-derivative formula
+    (ref: src/NavierStokes3D.cpp:797-825): with n the into-body normal and
+    t = (n_y, -n_x, 0),
+      drag += (rho nu (n . grad u . t/|t|^2) n_y - p n_x) JxW
+      lift -= (rho nu (n . grad u . t/|t|^2) n_x + p n_y) JxW
+    """
+    u_e = u[ft.cells_u]
+    p_e = p[ft.cells_p]
+    gu = jnp.einsum("fqid,fic->fqcd", ft.grad_u, u_e)  # du_c/dx_d
+    p_q = jnp.einsum("fqi,fi->fq", ft.phi_p, p_e)
+    n = -ft.normal
+    nx, ny = n[:, 0], n[:, 1]
+    t = jnp.stack([ny, -nx, jnp.zeros_like(nx)], axis=1)
+    t2 = jnp.sum(t * t, axis=1)
+    # n . grad u . t = sum_c sum_d n_c du_c/dx_d t_d
+    ngt = jnp.einsum("fc,fqcd,fd->fq", n, gu, t / t2[:, None])
+    drag = jnp.sum((rho * nu * ngt * ny[:, None] - p_q * nx[:, None]) * ft.jxw)
+    lift = -jnp.sum((rho * nu * ngt * nx[:, None] + p_q * ny[:, None]) * ft.jxw)
+    return drag, lift
+
+
+def drag_lift_coefficients(drag, lift, mean_velocity, diameter=0.1, span=None, rho=1.0):
+    """c_d = 2 drag / (rho U^2 D [H]) (ref: src/NavierStokes2D.cpp:848-853,
+    src/NavierStokes3D.cpp:833-838 with span H=0.41 in 3D)."""
+    denom = rho * mean_velocity**2 * diameter
+    if span is not None:
+        denom = denom * span
+    return 2.0 * drag / denom, 2.0 * lift / denom
+
+
+# ----------------------------------------------------------------------
+# Point probes (pressure difference)
+# ----------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PointProbe:
+    cells_p: jax.Array  # [n_pts, dim+1] vertex ids of containing cell
+    bary: jax.Array  # [n_pts, dim+1] barycentric weights
+
+    def pressure(self, p: jax.Array) -> jax.Array:
+        return jnp.einsum("ki,ki->k", p[self.cells_p], self.bary)
+
+
+def build_point_probe(
+    space: TaylorHoodSpace, geom: CellGeometry, points, dtype=jnp.float32
+) -> PointProbe:
+    """Host-side point location + P1 interpolation weights
+    (replaces VectorTools::point_value, ref: src/NavierStokes2D.cpp:877-888)."""
+    pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    mesh = space.mesh
+    cells, bary = [], []
+    v0 = mesh.coords[mesh.cells[:, 0]]
+    for x in pts:
+        xi = np.einsum("eij,ej->ei", geom.Jinv, x[None, :] - v0)
+        lam0 = 1.0 - xi.sum(axis=1)
+        lam = np.concatenate([lam0[:, None], xi], axis=1)
+        ok = np.all(lam >= -1e-9, axis=1)
+        if not np.any(ok):
+            # fall back to the nearest cell by barycentric violation
+            e = int(np.argmax(lam.min(axis=1)))
+        else:
+            e = int(np.argmax(ok))
+        cells.append(mesh.cells[e])
+        bary.append(lam[e])
+    return PointProbe(
+        cells_p=jnp.asarray(np.array(cells), dtype=jnp.int32),
+        bary=jnp.asarray(np.array(bary), dtype=dtype),
+    )
+
+
+# ----------------------------------------------------------------------
+# Error norms (manufactured solutions)
+# ----------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ErrorTables:
+    """Cell quadrature tables at elevated degree (ref uses degree+2;
+    src/Convergence3D.cpp:772)."""
+
+    cells_u: jax.Array  # [E, n_loc_u]
+    phi_u: jax.Array  # [q2, n_loc_u]
+    grad_u: jax.Array  # [q2, n_loc_u, dim] (reference grads)
+    Jinv: jax.Array  # [E, dim, dim]
+    jxw: jax.Array  # [E, q2]
+    qpoints: jax.Array  # [E, q2, dim] physical quadrature points
+
+
+def build_error_tables(
+    space: TaylorHoodSpace, geom: CellGeometry, degree: int = 5, dtype=jnp.float32
+) -> ErrorTables:
+    dim = space.dim
+    pts, w = quad.cell_rule(dim, degree)
+    phi = ref.p2_shape(pts, dim)
+    gref = ref.p2_grad(pts, dim)
+    mesh = space.mesh
+    v0 = mesh.coords[mesh.cells[:, 0]]
+    J = np.transpose(
+        mesh.coords[mesh.cells][:, 1:, :] - mesh.coords[mesh.cells][:, :1, :],
+        (0, 2, 1),
+    )
+    qp = v0[:, None, :] + np.einsum("eij,qj->eqi", J, pts)
+    jxw = geom.detJ[:, None] * w[None, :]
+    return ErrorTables(
+        cells_u=jnp.asarray(space.cells_u, dtype=jnp.int32),
+        phi_u=jnp.asarray(phi, dtype=dtype),
+        grad_u=jnp.asarray(gref, dtype=dtype),
+        Jinv=jnp.asarray(geom.Jinv, dtype=dtype),
+        jxw=jnp.asarray(jxw, dtype=dtype),
+        qpoints=jnp.asarray(qp, dtype=dtype),
+    )
+
+
+def velocity_error_norms(et: ErrorTables, u: jax.Array, exact_u, exact_grad_u, t):
+    """(L2, H1) velocity error norms at time t against callables
+    `exact_u(x, t) -> [..., dim]`, `exact_grad_u(x, t) -> [..., dim, dim]`.
+
+    H1 is the full norm sqrt(L2^2 + |.|_H1^2), matching deal.II's
+    `H1_norm` used by the reference (src/main_convergence3D.cpp:53-54)."""
+    u_e = u[et.cells_u]  # [E, n, dim]
+    u_q = jnp.einsum("qi,eic->eqc", et.phi_u, u_e)
+    gu_q = jnp.einsum("qik,ekd,eic->eqcd", et.grad_u, et.Jinv, u_e)
+    uex = exact_u(et.qpoints, t)  # [E, q, dim]
+    gex = exact_grad_u(et.qpoints, t)  # [E, q, dim, dim]
+    du = u_q - uex
+    dg = gu_q - gex
+    l2sq = jnp.sum(et.jxw * jnp.sum(du * du, axis=-1))
+    h1semisq = jnp.sum(et.jxw * jnp.sum(dg * dg, axis=(-1, -2)))
+    return jnp.sqrt(l2sq), jnp.sqrt(l2sq + h1semisq)
+
+
+def divergence_l2(et: ErrorTables, u: jax.Array):
+    """||div u_h||_L2 -- solution-quality telemetry (new capability)."""
+    u_e = u[et.cells_u]
+    gu_q = jnp.einsum("qik,ekd,eic->eqcd", et.grad_u, et.Jinv, u_e)
+    div = jnp.trace(gu_q, axis1=-2, axis2=-1)
+    return jnp.sqrt(jnp.sum(et.jxw * div * div))
+
+
+def kinetic_energy(et: ErrorTables, u: jax.Array):
+    u_e = u[et.cells_u]
+    u_q = jnp.einsum("qi,eic->eqc", et.phi_u, u_e)
+    return 0.5 * jnp.sum(et.jxw * jnp.sum(u_q * u_q, axis=-1))

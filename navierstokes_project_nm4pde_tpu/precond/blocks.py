@@ -1,0 +1,217 @@
+"""Block preconditioners for the saddle-point system (SIMPLE/Yosida family).
+
+Same block algebra as the reference's preconditioner library
+(ref: include/Preconditioners.hpp:7-534), re-derived from the block-LU
+factorisation and rebuilt TPU-native:
+
+With K = [[F, G], [D, 0]], G = -D^T, the exact factorisation is
+K = [[F, 0], [D, S]] [[I, F^-1 G], [0, I]] with S = D F^-1 D^T.  Each member
+replaces F^-1 by something cheaper in S and/or in the correction step:
+
+  kind              S~ uses            correction step      inner solves
+  ----------------- ------------------ -------------------- --------------------
+  identity          --                 --                   none
+  block_identity    --                 --                   none
+  block_triangular  pressure mass Mp/nu (Cahouet-Chabard-   CG on nu*A, CG on Mp
+                    style; ref :41-105) free)
+  simple            D diag(F)^-1 D^T   D^-1_hat correction  GMRES(F), CG(S~)
+  asimple           D diag(F)^-1 D^T   same, alpha=1        GMRES(F), CG(S~)
+  yosida            D (dt/diag M) D^T  extra F solve        2x GMRES(F), CG(S~)
+  ayosida           D (dt/lump M) D^T  diagonal F-hat       CG(S~) only
+
+The reference's inner ILU-preconditioned solves to rel. 1e-2
+(ref: include/Preconditioners.hpp:260-261,271-273) become Jacobi-
+preconditioned *fixed-iteration* GMRES/CG: ILU's sequential triangular
+sweeps cannot use the VPU/MXU, while short Jacobi-Krylov iterations are
+pure gather/einsum kernels and keep everything inside one XLA program.
+The preconditioners are nonstationary either way, which is why the outer
+solver is *flexible* GMRES.
+
+Dirichlet handling: F has identity rows on constrained velocity DoFs
+(row-elimination as in the reference, ref: src/NavierStokes2D.cpp:354);
+S~ masks constrained velocity columns, matching the exact Schur complement
+of the row-eliminated system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from navierstokes_project_nm4pde_tpu.config import PrecondConfig
+from navierstokes_project_nm4pde_tpu.ops import operators as ops
+from navierstokes_project_nm4pde_tpu.solvers.krylov import cg_fixed, gmres_fixed
+
+PRECOND_KINDS = (
+    "identity",
+    "block_identity",
+    "block_triangular",
+    "simple",
+    "asimple",
+    "yosida",
+    "ayosida",
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PrecondState:
+    """Per-time-step preconditioner data (rebuilt each step, mirroring the
+    reference's per-step `initialize`; ref: src/NavierStokes2D.cpp:540-619)."""
+
+    diag_Fhat: jax.Array  # [n_unodes] diag of F with 1.0 on constrained rows
+    inv_diag_Fhat: jax.Array  # [n_unodes]
+    inv_diag_free: jax.Array  # [n_unodes] 1/diagF on free nodes, 0 on constrained
+    schur_inv: jax.Array  # [n_unodes] the weight inside S~ (kind-dependent)
+    schur_diag: jax.Array  # [n_pnodes] diag(S~) for Jacobi-CG
+    conv: ops.ConvectionData | None
+
+
+def build_precond_state(
+    op: ops.NSOperator,
+    nu,
+    dt,
+    conv: ops.ConvectionData | None,
+    kind: str,
+) -> PrecondState:
+    mask = op.dirichlet_mask
+    dF = ops.diag_F(op, nu, dt, conv)
+    diag_Fhat = jnp.where(mask, 1.0, dF)
+    inv_diag_Fhat = 1.0 / diag_Fhat
+    inv_diag_free = jnp.where(mask, 0.0, 1.0 / dF)
+
+    if kind in ("yosida",):
+        # S~ from the mass block: dt * diag(M)^-1 (ref: Preconditioners.hpp:350-358)
+        schur_inv = jnp.where(mask, 0.0, dt / op.diagM)
+    elif kind in ("ayosida",):
+        # lumped mass (abs row sums; ref: Preconditioners.hpp:456-468)
+        schur_inv = jnp.where(mask, 0.0, dt / op.lumpM)
+    else:
+        # SIMPLE family: diag(F)^-1 (ref: Preconditioners.hpp:135-144)
+        schur_inv = inv_diag_free
+
+    schur_diag = ops.schur_diag(op, jnp.where(mask, 0.0, schur_inv), mask)
+    # Guard empty rows (should not happen: every pressure node touches cells)
+    schur_diag = jnp.where(schur_diag > 0, schur_diag, 1.0)
+    return PrecondState(
+        diag_Fhat=diag_Fhat,
+        inv_diag_Fhat=inv_diag_Fhat,
+        inv_diag_free=inv_diag_free,
+        schur_inv=schur_inv,
+        schur_diag=schur_diag,
+        conv=conv,
+    )
+
+
+# ----------------------------------------------------------------------
+# Inner solves
+# ----------------------------------------------------------------------
+def _solve_F(op, st: PrecondState, nu, dt, rhs_u, iters: int):
+    """Approximately solve F_hat z = rhs (GMRES + Jacobi), flat over [n, dim]."""
+    n, d = rhs_u.shape
+    mask = op.dirichlet_mask
+
+    def Aflat(v):
+        u = v.reshape(n, d)
+        y = ops.apply_F(op, nu, dt, st.conv, u)
+        y = jnp.where(mask[:, None], u, y)
+        return y.reshape(-1)
+
+    Minv = st.inv_diag_Fhat[:, None].repeat(d, axis=1).reshape(-1)
+    z = gmres_fixed(Aflat, rhs_u.reshape(-1), lambda v: Minv * v, iters=iters)
+    return z.reshape(n, d)
+
+
+def _solve_S(op, st: PrecondState, rhs_p, iters: int):
+    """Approximately solve S~ z = rhs (CG + Jacobi)."""
+
+    def S(p):
+        return ops.apply_schur(op, st.schur_inv, p)
+
+    Minv = 1.0 / st.schur_diag
+    return cg_fixed(S, rhs_p, lambda v: Minv * v, iters=iters)
+
+
+def _dt_apply(op, p):
+    """D^T p in the velocity space (= -G p)."""
+    return -ops.apply_gradient(op, p)
+
+
+# ----------------------------------------------------------------------
+# Application
+# ----------------------------------------------------------------------
+def apply_precond(
+    kind: str,
+    cfg: PrecondConfig,
+    op: ops.NSOperator,
+    st: PrecondState,
+    nu,
+    dt,
+    v_u: jax.Array,
+    v_p: jax.Array,
+):
+    """z = P^-1 v for the selected preconditioner kind (static)."""
+    if kind == "identity" or kind == "block_identity":
+        # ref: Preconditioners.hpp:7-37
+        return v_u, v_p
+
+    if kind == "block_triangular":
+        # ref: Preconditioners.hpp:41-105 -- block-triangular: velocity solve,
+        # then pressure-mass solve of (v_p - D z_u).  The reference solves the
+        # *stiffness* block (its class targets steady Stokes and is unused in
+        # the NS solve switch, ref: src/NavierStokes2D.cpp:547-619); for the
+        # unsteady system we solve the full F block -- with dt -> 0 a pure
+        # stiffness solve stops preconditioning M/dt and the outer solver
+        # stalls.  The pressure block stays the nu-scaled pressure mass
+        # (Cahouet-Chabard-style), ref: src/NavierStokes2D.cpp:265.
+        z_u = _solve_F(op, st, nu, dt, v_u, cfg.f_iters)
+        rhs_p = v_p - ops.apply_divergence(op, z_u)
+
+        def Mp(p):
+            return ops.apply_pressure_mass(op, p) / nu
+
+        MinvP = nu / op.diagMp
+        z_p = cg_fixed(Mp, rhs_p, lambda v: MinvP * v, iters=cfg.s_iters)
+        return z_u, z_p
+
+    if kind in ("simple", "asimple"):
+        # ref: Preconditioners.hpp:118-217 (SIMPLE), :220-329 (aSIMPLE)
+        alpha = cfg.alpha
+        y_u = _solve_F(op, st, nu, dt, v_u, cfg.f_iters)
+        rhs_p = v_p - ops.apply_divergence(op, y_u)
+        y_p = _solve_S(op, st, rhs_p, cfg.s_iters)
+        z_p = y_p / alpha
+        corr = st.inv_diag_free[:, None] * _dt_apply(op, z_p)
+        z_u = y_u + corr
+        return z_u, z_p
+
+    if kind == "yosida":
+        # ref: Preconditioners.hpp:332-423 -- L-solve with S~ from dt*M^-1,
+        # then a second F solve for the velocity correction.
+        y_u = _solve_F(op, st, nu, dt, v_u, cfg.f_iters)
+        rhs_p = v_p - ops.apply_divergence(op, y_u)
+        y_p = _solve_S(op, st, rhs_p, cfg.s_iters)
+        z_p = y_p
+        rhs_corr = _dt_apply(op, z_p)
+        rhs_corr = jnp.where(op.dirichlet_mask[:, None], 0.0, rhs_corr)
+        corr = _solve_F(op, st, nu, dt, rhs_corr, cfg.f_iters)
+        z_u = y_u + corr
+        return z_u, z_p
+
+    if kind == "ayosida":
+        # ref: Preconditioners.hpp:427-534 -- all F solves replaced by
+        # diagonal scalings, one real CG on the lumped-mass Schur block.
+        # (The reference's step order is reworked into the consistent
+        # block-LU form; its original Step-4/5 sequence is documented as
+        # anomalous -- SURVEY.md section 7 quirks.)
+        y_u = st.inv_diag_Fhat[:, None] * v_u
+        rhs_p = v_p - ops.apply_divergence(op, y_u)
+        y_p = _solve_S(op, st, rhs_p, cfg.s_iters)
+        z_p = y_p
+        corr = st.inv_diag_free[:, None] * _dt_apply(op, z_p)
+        z_u = y_u + corr
+        return z_u, z_p
+
+    raise ValueError(f"unknown preconditioner kind: {kind}")

@@ -33,9 +33,10 @@ def test_cube_mesh():
     assert np.all(m.cell_volumes() > 0)
     m.check_boundary_closed()
     assert set(np.unique(m.bface_tag)) == {0, 1, 2, 3, 4, 5}
-    # Neumann face (tag 3) is y = -1 (ref: src/Convergence3D.cpp:303-332).
+    # Neumann face (tag 3) is y = +1: the reference's h formulas use outward
+    # normal (0,+1,0) (see models/ethier_steinman.py docstring).
     for fv in m.bface_verts[m.bface_tag == 3][:10]:
-        np.testing.assert_allclose(m.coords[fv][:, 1], -1.0, atol=1e-12)
+        np.testing.assert_allclose(m.coords[fv][:, 1], 1.0, atol=1e-12)
 
 
 def test_boundary_face_parents():
