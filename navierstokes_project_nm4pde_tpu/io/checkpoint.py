@@ -1,0 +1,41 @@
+"""Checkpoint / resume of the (u, p, t, step) state.
+
+A new capability: the reference has none -- its VTU outputs are
+visualization-only and cannot restart a run (SURVEY.md section 5).  Plain
+`.npz` keeps the dependency surface minimal and is exact for restart
+purposes; orbax can be layered on for async multi-host checkpointing later.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_project_nm4pde_tpu.models.base import State
+
+
+def save_checkpoint(path: str, state: State, meta: dict | None = None):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays = {
+        "u": np.asarray(jax.device_get(state.u)),
+        "p": np.asarray(jax.device_get(state.p)),
+        "t": np.asarray(jax.device_get(state.t)),
+        "step": np.asarray(jax.device_get(state.step)),
+    }
+    if meta:
+        for k, v in meta.items():
+            arrays[f"meta_{k}"] = np.asarray(v)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str, dtype=jnp.float32) -> State:
+    with np.load(path) as z:
+        return State(
+            u=jnp.asarray(z["u"], dtype=dtype),
+            p=jnp.asarray(z["p"], dtype=dtype),
+            t=jnp.asarray(z["t"], dtype=dtype),
+            step=jnp.asarray(z["step"], dtype=jnp.int32),
+        )

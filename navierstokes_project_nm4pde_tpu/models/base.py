@@ -113,11 +113,13 @@ class NavierStokesSolver:
         mask = self.space.dirichlet_mask(dtags)
         self.op = ops.build_operator(self.space, self.geom, mask, dtype=self.dtype)
 
-        # Dirichlet node lists per tag (later tags override earlier, matching
-        # the reference's map insertion order; ref: src/NavierStokes2D.cpp:330-352).
+        # Dirichlet node lists per tag. Later tags override earlier at shared
+        # (corner) nodes, matching the reference's map overwrite order where
+        # walls/obstacle are interpolated after the inlet
+        # (ref: src/NavierStokes2D.cpp:330-352).
         taken = np.zeros(self.space.n_unodes, dtype=bool)
         self._bc_groups = []
-        for tag in dtags:
+        for tag in reversed(dtags):
             nodes = self.space.boundary_unodes([tag])
             nodes = nodes[~taken[nodes]]
             taken[nodes] = True
@@ -208,10 +210,14 @@ class NavierStokesSolver:
         return x[: n * d].reshape(n, d), x[n * d:]
 
     # ------------------------------------------------------------------
-    def step(self, state: State) -> tuple[State, StepDiagnostics]:
-        """One semi-implicit time step (pure; jit/scan-able)."""
+    def step(self, state: State, nu=None) -> tuple[State, StepDiagnostics]:
+        """One semi-implicit time step (pure; jit/scan/vmap-able).
+
+        `nu` may be a traced scalar to support vmapped Reynolds ensembles;
+        it defaults to the problem's static viscosity."""
         cfg = self.config
-        nu = self.problem.nu
+        if nu is None:
+            nu = self.problem.nu
         dt = cfg.time.dt
         op = self.op
         t_new = state.t + dt
@@ -261,12 +267,13 @@ class NavierStokesSolver:
         u_new, p_new = self._unpack(x)
         new_state = State(u=u_new, p=p_new, t=t_new, step=state.step + 1)
 
-        diag = self._diagnostics(u_new, p_new, t_new, info)
+        diag = self._diagnostics(u_new, p_new, t_new, info, nu)
         return new_state, diag
 
     # ------------------------------------------------------------------
-    def _diagnostics(self, u, p, t, info) -> StepDiagnostics:
-        nu = self.problem.nu
+    def _diagnostics(self, u, p, t, info, nu=None) -> StepDiagnostics:
+        if nu is None:
+            nu = self.problem.nu
         rho = self.problem.rho
         zero = jnp.asarray(0.0, self.dtype)
         drag = lift = c_d = c_l = delta_p = zero
@@ -316,13 +323,7 @@ class NavierStokesSolver:
         ft = self._ftab
         f = self.problem.forcing(ft.qpoints, t)  # [E, q, dim]
         y = jnp.einsum("eq,eqc,qi->eic", ft.jxw, f, ft.phi_u)
-        flat = y.reshape(-1, self.space.dim)
-        return jax.ops.segment_sum(
-            flat[self.op.order_u],
-            self.op.seg_u,
-            num_segments=self.space.n_unodes,
-            indices_are_sorted=True,
-        )
+        return ops.scatter_u(self.op, y)
 
     # ------------------------------------------------------------------
     def run(

@@ -77,6 +77,15 @@ class NSOperator:
     D_vals: jax.Array  # [n_pnodes, Wd, dim] (padded with 0)
     # Dirichlet
     dirichlet_mask: jax.Array  # [n_unodes] bool
+    # Scatter strategy (static): "sorted" uses the precomputed sorted
+    # segment-sum plan (fast single-device path); "scatter_add" uses
+    # jnp .at[].add on the cell index map -- under GSPMD with the cell axis
+    # sharded this becomes per-device partial assembly + an automatic psum,
+    # i.e. the reference's compress() collective (ref:
+    # src/NavierStokes2D.cpp:315-320) expressed as an XLA reduction.
+    scatter_mode: str = dataclasses.field(
+        default="sorted", metadata=dict(static=True)
+    )
 
     @property
     def dim(self) -> int:
@@ -207,6 +216,9 @@ def gather_p(op: NSOperator, p: jax.Array) -> jax.Array:
 
 def scatter_u(op: NSOperator, y_e: jax.Array) -> jax.Array:
     """[E, n_loc_u, dim] element contributions -> [n_unodes, dim]."""
+    if op.scatter_mode == "scatter_add":
+        out = jnp.zeros((op.n_unodes, y_e.shape[-1]), y_e.dtype)
+        return out.at[op.cells_u].add(y_e)
     flat = y_e.reshape(-1, y_e.shape[-1])
     return jax.ops.segment_sum(
         flat[op.order_u], op.seg_u, num_segments=op.n_unodes,
@@ -214,7 +226,21 @@ def scatter_u(op: NSOperator, y_e: jax.Array) -> jax.Array:
     )
 
 
+def scatter_u_scalar(op: NSOperator, d_e: jax.Array) -> jax.Array:
+    """[E, n_loc_u] scalar element contributions -> [n_unodes]."""
+    if op.scatter_mode == "scatter_add":
+        out = jnp.zeros((op.n_unodes,), d_e.dtype)
+        return out.at[op.cells_u].add(d_e)
+    return jax.ops.segment_sum(
+        d_e.reshape(-1)[op.order_u], op.seg_u, num_segments=op.n_unodes,
+        indices_are_sorted=True,
+    )
+
+
 def scatter_p(op: NSOperator, y_e: jax.Array) -> jax.Array:
+    if op.scatter_mode == "scatter_add":
+        out = jnp.zeros((op.n_pnodes,), y_e.dtype)
+        return out.at[op.cells_p].add(y_e)
     flat = y_e.reshape(-1)
     return jax.ops.segment_sum(
         flat[op.order_p], op.seg_p, num_segments=op.n_pnodes,
@@ -288,10 +314,7 @@ def convection_setup(op: NSOperator, w: jax.Array) -> ConvectionData:
         "q,eqi,qi->ei", op.W, WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
         op.PHI_U,
     ) * op.detJ[:, None]
-    diagC = jax.ops.segment_sum(
-        d_e.reshape(-1)[op.order_u], op.seg_u, num_segments=op.n_unodes,
-        indices_are_sorted=True,
-    )
+    diagC = scatter_u_scalar(op, d_e)
     return ConvectionData(WG=WG, divw=divw, diagC=diagC)
 
 

@@ -1,0 +1,51 @@
+"""Ensemble (parameter-sweep) parallelism via vmap.
+
+A capability the reference does not have (each run is a separate `mpirun`
+launch; SURVEY.md section 2c): `vmap` the full semi-implicit step over a batch
+of viscosities (i.e. Reynolds numbers) so one XLA program advances the whole
+sweep -- optionally with the batch axis sharded across devices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_ensemble(solver, nus, n_steps: int, sharding=None):
+    """Advance `n_steps` for an ensemble of viscosities.
+
+    Args:
+      solver: a NavierStokesSolver (its problem's other parameters are shared).
+      nus: [B] array of kinematic viscosities.
+      n_steps: number of time steps.
+      sharding: optional NamedSharding for the batch axis (e.g. over a
+        device mesh) -- data-parallel ensemble execution.
+
+    Returns (batched final State, batched stacked StepDiagnostics [B, T]).
+    """
+    nus = jnp.asarray(nus, solver.dtype)
+    B = nus.shape[0]
+    state0 = solver.initial_state()
+    bstate = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + jnp.shape(x)), state0
+    )
+    if sharding is not None:
+        bstate = jax.tree.map(lambda x: jax.device_put(x, sharding), bstate)
+        nus = jax.device_put(nus, sharding)
+
+    vstep = jax.vmap(lambda st, nu: solver.step(st, nu=nu), in_axes=(0, 0))
+
+    @jax.jit
+    def run(bstate, nus):
+        def body(st, _):
+            st, d = vstep(st, nus)
+            return st, d
+
+        return jax.lax.scan(body, bstate, None, length=n_steps)
+
+    bstate, diags = run(bstate, nus)
+    # [T, B] -> [B, T]
+    diags = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), diags)
+    return bstate, diags

@@ -1,0 +1,3 @@
+from navierstokes_project_nm4pde_tpu.utils.tables import ConvergenceTable  # noqa: F401
+from navierstokes_project_nm4pde_tpu.utils.timers import Timer, PhaseTimers  # noqa: F401
+from navierstokes_project_nm4pde_tpu.utils.signal import strouhal_number  # noqa: F401

@@ -1,0 +1,80 @@
+"""I/O layer: VTU export, CSV logs, checkpoint round-trip, tables, signal."""
+
+import numpy as np
+
+from navierstokes_project_nm4pde_tpu.fem.space import build_taylor_hood
+from navierstokes_project_nm4pde_tpu.io import (
+    CSVLogger,
+    load_checkpoint,
+    save_checkpoint,
+    write_pvd,
+    write_vtu,
+)
+from navierstokes_project_nm4pde_tpu.mesh import cube_mesh, rectangle_mesh
+from navierstokes_project_nm4pde_tpu.utils import ConvergenceTable, strouhal_number
+
+
+def test_vtu_2d(tmp_path):
+    space = build_taylor_hood(rectangle_mesh(3, 2))
+    u = np.random.default_rng(0).normal(size=(space.n_unodes, 2))
+    p = np.random.default_rng(1).normal(size=space.n_pnodes)
+    path = str(tmp_path / "out.vtu")
+    write_vtu(path, space, u, p, partitioning=np.zeros(space.mesh.n_cells))
+    text = open(path).read()
+    assert "UnstructuredGrid" in text and "velocity" in text
+    write_pvd(str(tmp_path / "series.pvd"), [(0.0, path), (0.1, path)])
+    assert "Collection" in open(tmp_path / "series.pvd").read()
+
+
+def test_vtu_3d(tmp_path):
+    space = build_taylor_hood(cube_mesh(2))
+    u = np.zeros((space.n_unodes, 3))
+    p = np.zeros(space.n_pnodes)
+    write_vtu(str(tmp_path / "out3d.vtu"), space, u, p)
+    assert (tmp_path / "out3d.vtu").exists()
+
+
+def test_csv_logger(tmp_path):
+    log = CSVLogger(str(tmp_path))
+    log.log_gmres([0.01, 0.02], [10, 20], [5, 6])
+    log.log_coefficients([1, 2], [3.1, 3.2], [0.1, 0.2])
+    log.log_convergence([0.8, 0.4], [1e-2, 1e-3], [1e-1, 2e-2])
+    log.log_forces("forces_results_2D_2case.csv", [0.01], [1.0], [0.5], [3.0], [1.0])
+    assert open(tmp_path / "gmres.csv").read().startswith("0.01,10,5")
+    assert "h,eL2,eH1" in open(tmp_path / "convergence.csv").read()
+    assert "Coeff Drag" in open(tmp_path / "forces_results_2D_2case.csv").read()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from navierstokes_project_nm4pde_tpu.models.base import State
+
+    st = State(
+        u=jnp.ones((10, 2)), p=jnp.zeros(4), t=jnp.asarray(0.5),
+        step=jnp.asarray(50, jnp.int32),
+    )
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, st, meta={"nu": 1e-3})
+    st2 = load_checkpoint(path, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(st2.u), 1.0)
+    assert float(st2.t) == 0.5 and int(st2.step) == 50
+
+
+def test_convergence_table():
+    t = ConvergenceTable()
+    t.add_row(0.8, L2=1.0, H1=2.0)
+    t.add_row(0.4, L2=0.125, H1=0.5)
+    r = t.rates()
+    np.testing.assert_allclose(r["L2"], [3.0])
+    np.testing.assert_allclose(r["H1"], [2.0])
+    assert "rate" in t.format()
+
+
+def test_strouhal():
+    dt = 0.01
+    t = np.arange(4000) * dt
+    f0 = 0.3 / 0.1  # St=0.3 with D=0.1, U=1
+    lift = np.sin(2 * np.pi * f0 * t) + 0.1 * np.cos(2 * np.pi * 0.5 * t)
+    st = strouhal_number(lift, dt)
+    assert abs(st - 0.3) < 0.02

@@ -1,0 +1,113 @@
+"""Multi-device sharding (8 virtual CPU devices) and ensemble vmap tests.
+
+The reference's parallelism is tested only by launching mpirun (SURVEY.md
+section 4); here the same domain-decomposition semantics run on an emulated
+device mesh and must match the single-device result bitwise-closely.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_project_nm4pde_tpu.config import (
+    NumericsConfig,
+    PrecondConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from navierstokes_project_nm4pde_tpu.mesh import cube_mesh, cylinder_channel_2d
+from navierstokes_project_nm4pde_tpu.models import (
+    Cylinder2DProblem,
+    EthierSteinmanProblem,
+    NavierStokesSolver,
+)
+from navierstokes_project_nm4pde_tpu.ops import operators as ops
+from navierstokes_project_nm4pde_tpu.parallel import (
+    make_device_mesh,
+    run_ensemble,
+    shard_solver,
+)
+from navierstokes_project_nm4pde_tpu.parallel.sharding import shard_operator
+
+
+def make_config(**kw):
+    defaults = dict(
+        time=TimeConfig(dt=0.01, t_end=1.0),
+        solver=SolverConfig(rtol=1e-8, restart=40, maxiter=100),
+        precond=PrecondConfig(kind="asimple", f_iters=5, s_iters=25),
+        numerics=NumericsConfig(dtype="float64", precise_dots=False, steps_per_chunk=2),
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_operator_matches_single_device():
+    mesh = cube_mesh(2)
+    problem = EthierSteinmanProblem()
+    solver = NavierStokesSolver(mesh, problem, make_config())
+    op = solver.op
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(solver.space.n_unodes, 3)))
+    p = jnp.asarray(rng.normal(size=solver.space.n_pnodes))
+
+    y_u_ref, y_p_ref = ops.apply_system(op, 0.01, 0.01, None, u, p)
+
+    dmesh = make_device_mesh(8)
+    op_sh = shard_operator(op, dmesh)
+    y_u, y_p = jax.jit(
+        lambda u, p: ops.apply_system(op_sh, 0.01, 0.01, None, u, p)
+    )(u, p)
+    np.testing.assert_allclose(np.asarray(y_u), np.asarray(y_u_ref), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_p_ref), rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_full_step_matches():
+    mesh = cube_mesh(2)
+    problem = EthierSteinmanProblem()
+    cfg = make_config(time=TimeConfig(dt=4e-4, t_end=4e-4))
+    s1 = NavierStokesSolver(mesh, problem, cfg)
+    state1, d1 = s1.run(1)
+
+    s2 = NavierStokesSolver(mesh, problem, cfg)
+    shard_solver(s2, make_device_mesh(8))
+    state2, d2 = s2.run(1)
+
+    np.testing.assert_allclose(
+        np.asarray(state2.u), np.asarray(state1.u), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.p), np.asarray(state1.p), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_ensemble_vmap_matches_sequential():
+    mesh = cylinder_channel_2d(lc=0.1)
+    cfg = make_config(
+        time=TimeConfig(dt=0.01, t_end=0.05),
+        numerics=NumericsConfig(
+            dtype="float64", precise_dots=False, steps_per_chunk=5
+        ),
+    )
+    problem = Cylinder2DProblem(test_case=2)
+    solver = NavierStokesSolver(mesh, problem, cfg)
+    nus = np.array([1e-3, 2e-3, 5e-3])
+    bstate, bdiags = run_ensemble(solver, nus, n_steps=3)
+    assert bdiags.iters.shape == (3, 3)
+    # sequential check for one member
+    solver_b = NavierStokesSolver(
+        mesh, Cylinder2DProblem(test_case=2, nu=2e-3), cfg
+    )
+    state_b, diags_b = solver_b.run(3)
+    np.testing.assert_allclose(
+        np.asarray(bstate.u)[1], np.asarray(state_b.u), rtol=1e-7, atol=1e-9
+    )
+    # different Reynolds numbers produce genuinely different flows
+    assert not np.allclose(np.asarray(bstate.u)[0], np.asarray(bstate.u)[2])
