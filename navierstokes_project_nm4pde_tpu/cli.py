@@ -1,0 +1,258 @@
+"""Command-line entry points mirroring the reference's three executables.
+
+  cylinder2d   <->  navier_stokes2D (ref: src/main2D.cpp:4-63)
+  cylinder3d   <->  navier_stokes3D (ref: src/main3D.cpp:4-79)
+  convergence  <->  convergence     (ref: src/main_convergence3D.cpp:5-77)
+
+Unlike the reference (all parameters compile-time constants, only the mesh
+path on argv; ref: src/main2D.cpp:14-22), every physical/numerical knob is a
+flag.  Meshes come from a `.msh` file (--mesh) or the built-in generators.
+
+Outputs keep the reference's artifact set: per-step stdout progress,
+gmres.csv, coeff_2.csv, forces CSV, VTU snapshots, and the convergence
+table with log2 rates -- plus checkpoints, a wall-time summary, and a
+Strouhal estimate (new).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build_config(args, defaults):
+    from navierstokes_project_nm4pde_tpu.config import (
+        NumericsConfig,
+        PrecondConfig,
+        RunConfig,
+        SolverConfig,
+        TimeConfig,
+    )
+
+    return RunConfig(
+        time=TimeConfig(dt=args.dt, t_end=args.t_end),
+        solver=SolverConfig(rtol=args.rtol, restart=args.restart, maxiter=args.maxiter),
+        precond=PrecondConfig(
+            kind=args.precond, f_iters=args.f_iters, s_iters=args.s_iters,
+            alpha=0.5 if args.precond == "simple" else 1.0,
+        ),
+        numerics=NumericsConfig(
+            dtype=args.dtype,
+            precise_dots=not args.no_precise_dots,
+            steps_per_chunk=args.steps_per_chunk,
+        ),
+        test_case=args.test_case if hasattr(args, "test_case") else 2,
+        output_dir=args.output_dir,
+        output_every=args.output_every,
+    )
+
+
+def _common_flags(p, dt, t_end, precond):
+    p.add_argument("--mesh", type=str, default=None, help=".msh file (else built-in generator)")
+    p.add_argument("--dt", type=float, default=dt)
+    p.add_argument("--t-end", type=float, default=t_end)
+    p.add_argument("--n-steps", type=int, default=None, help="override step count")
+    p.add_argument("--precond", type=str, default=precond)
+    p.add_argument("--rtol", type=float, default=1e-6)
+    p.add_argument("--restart", type=int, default=50)
+    p.add_argument("--maxiter", type=int, default=200)
+    p.add_argument("--f-iters", type=int, default=6)
+    p.add_argument("--s-iters", type=int, default=30)
+    p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--no-precise-dots", action="store_true")
+    p.add_argument("--steps-per-chunk", type=int, default=10)
+    p.add_argument("--output-dir", type=str, default=None)
+    p.add_argument("--output-every", type=int, default=0, help="VTU cadence (0=off)")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
+
+
+def _run_cylinder(args, dim: int):
+    import jax.numpy as jnp
+
+    from navierstokes_project_nm4pde_tpu.io import CSVLogger, save_checkpoint, write_pvd, write_vtu
+    from navierstokes_project_nm4pde_tpu.io.checkpoint import load_checkpoint
+    from navierstokes_project_nm4pde_tpu.mesh import (
+        cylinder_channel_2d,
+        cylinder_duct_3d,
+        read_msh,
+    )
+    from navierstokes_project_nm4pde_tpu.models import (
+        Cylinder2DProblem,
+        Cylinder3DProblem,
+        NavierStokesSolver,
+    )
+    from navierstokes_project_nm4pde_tpu.utils import Timer, strouhal_number
+
+    t_total = Timer(sync=False).start()
+    if args.mesh:
+        mesh = read_msh(args.mesh)
+    elif dim == 2:
+        mesh = cylinder_channel_2d(lc=args.lc)
+    else:
+        mesh = cylinder_duct_3d(lc=args.lc, nz=args.nz)
+    print(f"Mesh: {mesh.n_cells} cells, {mesh.n_vertices} vertices")
+
+    problem = (
+        Cylinder2DProblem(test_case=args.test_case)
+        if dim == 2
+        else Cylinder3DProblem(test_case=args.test_case)
+    )
+    cfg = _build_config(args, None)
+    solver = NavierStokesSolver(mesh, problem, cfg)
+    sp = solver.space
+    print(
+        f"DoFs: velocity={sp.n_udofs} pressure={sp.n_pnodes} total={sp.n_dofs}"
+    )
+
+    out_dir = args.output_dir or f"output{dim}D"
+    log = CSVLogger(out_dir)
+    vtu_entries = []
+
+    state = (
+        load_checkpoint(args.resume, dtype=jnp.dtype(args.dtype))
+        if args.resume
+        else solver.initial_state()
+    )
+    n_steps = args.n_steps or cfg.time.n_steps
+    # 3D: output every 20 steps like the reference (src/NavierStokes3D.cpp:734)
+    out_every = args.output_every or 0
+
+    cd_max, cl_min = -np.inf, np.inf
+    done = {"n": int(state.step)}
+
+    def callback(solver, state, diags):
+        nonlocal cd_max, cl_min
+        k = len(diags.iters)
+        steps = np.arange(done["n"] + 1, done["n"] + k + 1)
+        times = steps * cfg.time.dt
+        done["n"] += k
+        # reference's Re column formula (src/NavierStokes2D.cpp:622)
+        re = (0.1 * 1.5 * np.sin(times * np.pi / 8.0) / 1e-3).astype(int)
+        log.log_gmres(times, re, diags.iters)
+        log.log_coefficients(steps, diags.c_d, diags.c_l)
+        log.log_forces(
+            f"forces_results_{dim}D_{args.test_case}case.csv",
+            times, diags.drag, diags.lift, diags.c_d, diags.c_l,
+        )
+        # force extrema; 3D gates accumulation until t > 0.1
+        # (ref: src/NavierStokes3D.cpp:728-733)
+        sel = times > 0.1 if dim == 3 else slice(None)
+        if np.any(times > 0.1) or dim == 2:
+            cd_max = max(cd_max, np.max(diags.c_d[sel]))
+            cl_min = min(cl_min, np.min(diags.c_l[sel]))
+        it, res = diags.iters[-1], diags.residual[-1]
+        print(
+            f"n = {done['n']:4d}, t = {times[-1]:.4f}: {it} GMRES iters, "
+            f"residual {res:.3e}, c_d {diags.c_d[-1]:.4f}, c_l {diags.c_l[-1]:.4f}"
+        )
+        if out_every and (done["n"] % out_every == 0 or done["n"] >= n_steps):
+            path = os.path.join(out_dir, f"solution_{done['n']:06d}.vtu")
+            write_vtu(path, solver.space, np.asarray(state.u), np.asarray(state.p))
+            vtu_entries.append((float(state.t), path))
+        if args.checkpoint_every and done["n"] % args.checkpoint_every == 0:
+            save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state)
+
+    state, diags = solver.run(n_steps - int(state.step), state=state, callback=callback)
+
+    if vtu_entries:
+        write_pvd(os.path.join(out_dir, "solution.pvd"), vtu_entries)
+    save_checkpoint(os.path.join(out_dir, "final.npz"), state)
+
+    print("=" * 47)
+    print(f"Drag Coefficient Max ----->   {cd_max}")
+    print(f"Lift Coefficient Min ----->   {cl_min}")
+    print(f"Pressure difference (P(A) - P(B)) = {diags.delta_p[-1]}")
+    st = strouhal_number(diags.c_l, cfg.time.dt)
+    print(f"Strouhal number (from c_l) = {st:.4f}")
+    print(f"Total wall time: {t_total.stop():.2f} s")
+
+
+def _run_convergence(args):
+    from navierstokes_project_nm4pde_tpu.io import CSVLogger
+    from navierstokes_project_nm4pde_tpu.mesh import cube_mesh
+    from navierstokes_project_nm4pde_tpu.models import (
+        EthierSteinmanProblem,
+        NavierStokesSolver,
+    )
+    from navierstokes_project_nm4pde_tpu.models.ethier_steinman import (
+        exact_velocity,
+        exact_velocity_gradient,
+    )
+    from navierstokes_project_nm4pde_tpu.ops.functionals import (
+        build_error_tables,
+        velocity_error_norms,
+    )
+    from navierstokes_project_nm4pde_tpu.utils import ConvergenceTable, Timer
+
+    timer = Timer(sync=False).start()
+    table = ConvergenceTable()
+    out_dir = args.output_dir or "outputConvergence"
+    log = CSVLogger(out_dir)
+    hs, l2s, h1s = [], [], []
+    # mesh ladder: n subdivisions of [-1,1]^3 -> h = 2/n
+    for n in args.levels:
+        mesh = cube_mesh(n)
+        solver = NavierStokesSolver(mesh, EthierSteinmanProblem(), _build_config(args, None))
+        n_steps = args.n_steps or max(1, solver.config.time.n_steps)
+        state, diags = solver.run(n_steps)
+        et = build_error_tables(solver.space, solver.geom, degree=5,
+                                dtype=np.dtype(args.dtype))
+        l2, h1 = velocity_error_norms(
+            et, state.u, exact_velocity, exact_velocity_gradient, float(state.t)
+        )
+        h = 2.0 / n
+        print(
+            f"h={h:.3f}: cells={mesh.n_cells} dofs={solver.space.n_dofs} "
+            f"L2={float(l2):.6e} H1={float(h1):.6e} iters={list(diags.iters)}"
+        )
+        hs.append(h)
+        l2s.append(float(l2))
+        h1s.append(float(h1))
+        table.add_row(h, L2=float(l2), H1=float(h1))
+    log.log_convergence(hs, l2s, h1s)
+    print(table.format())
+    print(f"Time taken to solve ENTIRE Navier Stokes problem: {timer.stop():.2f} s")
+    rates = table.rates()
+    return rates
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="navierstokes-tpu",
+        description="TPU-native incompressible Navier-Stokes benchmarks",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p2 = sub.add_parser("cylinder2d", help="DFG 2D flow past a cylinder")
+    _common_flags(p2, dt=0.01, t_end=8.0, precond="asimple")
+    p2.add_argument("--lc", type=float, default=0.05)
+    p2.add_argument("--test-case", type=int, default=2)
+
+    p3 = sub.add_parser("cylinder3d", help="DFG 3D flow past a cylinder")
+    _common_flags(p3, dt=2e-4, t_end=4.0, precond="yosida")
+    p3.add_argument("--lc", type=float, default=0.05)
+    p3.add_argument("--nz", type=int, default=8)
+    p3.add_argument("--test-case", type=int, default=2)
+
+    pc = sub.add_parser("convergence", help="Ethier-Steinman convergence study")
+    _common_flags(pc, dt=4e-4, t_end=4e-4, precond="asimple")
+    pc.add_argument("--levels", type=int, nargs="+", default=[2, 4, 8, 16],
+                    help="cube subdivisions (h = 2/n)")
+    pc.set_defaults(test_case=2, dtype="float32")
+
+    args = parser.parse_args(argv)
+    if args.cmd == "cylinder2d":
+        _run_cylinder(args, dim=2)
+    elif args.cmd == "cylinder3d":
+        _run_cylinder(args, dim=3)
+    elif args.cmd == "convergence":
+        _run_convergence(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -119,10 +119,12 @@ class NavierStokesSolver:
         # (ref: src/NavierStokes2D.cpp:330-352).
         taken = np.zeros(self.space.n_unodes, dtype=bool)
         self._bc_groups = []
+        node_groups = []
         for tag in reversed(dtags):
             nodes = self.space.boundary_unodes([tag])
             nodes = nodes[~taken[nodes]]
             taken[nodes] = True
+            node_groups.append(nodes)
             self._bc_groups.append(
                 (
                     self.problem.dirichlet[tag],
@@ -132,6 +134,10 @@ class NavierStokesSolver:
                     ),
                 )
             )
+        # scatter-free injection of boundary values (see ops/scatter.py)
+        from navierstokes_project_nm4pde_tpu.ops.scatter import build_inverse_map
+
+        self._bc_inverse = build_inverse_map(node_groups, self.space.n_unodes)
 
         bt = boundary_tables(self.space, self.geom, degree=4)
         self._btables = bt
@@ -155,6 +161,13 @@ class NavierStokesSolver:
             )
             self._neumann_points = jnp.asarray(
                 bt.points[sel], dtype=self.dtype
+            )
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                build_gather_plan,
+            )
+
+            self._neumann_plan = build_gather_plan(
+                self.space.cells_u[bt.cell[sel]], self.space.n_unodes
             )
 
         # Force tables on the obstacle
@@ -196,11 +209,19 @@ class NavierStokesSolver:
 
     # ------------------------------------------------------------------
     def _dirichlet_values(self, t) -> jax.Array:
-        """Full [n_unodes, dim] array with g(x, t) on constrained nodes."""
-        g = jnp.zeros((self.space.n_unodes, self.space.dim), self.dtype)
-        for fn_g, idx, coords in self._bc_groups:
-            g = g.at[idx].set(jnp.asarray(fn_g(coords, t), self.dtype))
-        return g
+        """Full [n_unodes, dim] array with g(x, t) on constrained nodes.
+
+        Built scatter-free: per-group values are concatenated and routed
+        through a precomputed inverse gather map (TPU scatter is slow)."""
+        from navierstokes_project_nm4pde_tpu.ops.scatter import apply_inverse_map
+
+        vals = [
+            jnp.asarray(fn_g(coords, t), self.dtype)
+            for (fn_g, idx, coords) in self._bc_groups
+        ]
+        if not vals:
+            return jnp.zeros((self.space.n_unodes, self.space.dim), self.dtype)
+        return apply_inverse_map(self._bc_inverse, jnp.concatenate(vals, axis=0))
 
     def _pack(self, u, p):
         return jnp.concatenate([u.reshape(-1), p])
@@ -304,11 +325,14 @@ class NavierStokesSolver:
     def _neumann_rhs(self, t) -> jax.Array:
         """int_Gamma h . v ds on the Neumann facets
         (ref: src/Convergence3D.cpp:303-332)."""
+        from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
         nt = self.neumann
         h = self.problem.neumann_value(self._neumann_points, t)  # [f, q, dim]
         y = jnp.einsum("fq,fqc,fqi->fic", nt.jxw, h, nt.phi_u)
-        out = jnp.zeros((self.space.n_unodes, self.space.dim), self.dtype)
-        return out.at[nt.cells_u].add(y)
+        return apply_gather_plan(
+            self._neumann_plan, y.reshape(-1, self.space.dim)
+        )
 
     def _forcing_rhs(self, t) -> jax.Array:
         """int_Omega f . v (assembled via cell quadrature on the fly)."""

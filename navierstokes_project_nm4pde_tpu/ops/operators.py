@@ -31,15 +31,12 @@ import numpy as np
 
 from navierstokes_project_nm4pde_tpu.fem.geometry import CellGeometry
 from navierstokes_project_nm4pde_tpu.fem.space import TaylorHoodSpace
+from navierstokes_project_nm4pde_tpu.ops.scatter import (
+    GatherPlan,
+    apply_gather_plan,
+    build_gather_plan,
+)
 from navierstokes_project_nm4pde_tpu.ops.tables import RefTables, build_ref_tables
-
-
-def _sorted_scatter(cells: np.ndarray, n_rows: int):
-    """Precompute a sorted segment-sum plan for cell->global scatter-add."""
-    flat = cells.reshape(-1).astype(np.int64)
-    order = np.argsort(flat, kind="stable")
-    seg = flat[order]
-    return order.astype(np.int32), seg.astype(np.int32), n_rows
 
 
 @jax.tree_util.register_dataclass
@@ -50,10 +47,9 @@ class NSOperator:
     # connectivity
     cells_u: jax.Array  # [E, n_loc_u] int32
     cells_p: jax.Array  # [E, dim+1] int32
-    order_u: jax.Array  # scatter plan for the velocity space
-    seg_u: jax.Array
-    order_p: jax.Array  # scatter plan for the pressure space
-    seg_p: jax.Array
+    # assembly reductions as gather-sum plans (see ops/scatter.py)
+    plan_u: GatherPlan
+    plan_p: GatherPlan
     # geometry
     detJ: jax.Array  # [E]
     Jinv: jax.Array  # [E, dim, dim]
@@ -77,14 +73,14 @@ class NSOperator:
     D_vals: jax.Array  # [n_pnodes, Wd, dim] (padded with 0)
     # Dirichlet
     dirichlet_mask: jax.Array  # [n_unodes] bool
-    # Scatter strategy (static): "sorted" uses the precomputed sorted
-    # segment-sum plan (fast single-device path); "scatter_add" uses
-    # jnp .at[].add on the cell index map -- under GSPMD with the cell axis
-    # sharded this becomes per-device partial assembly + an automatic psum,
-    # i.e. the reference's compress() collective (ref:
+    # Scatter strategy (static): "gather" uses the precomputed gather-sum
+    # plans (fast single-device path; TPU scatter is serialised and slow);
+    # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD
+    # with the cell axis sharded this becomes per-device partial assembly +
+    # an automatic psum, i.e. the reference's compress() collective (ref:
     # src/NavierStokes2D.cpp:315-320) expressed as an XLA reduction.
     scatter_mode: str = dataclasses.field(
-        default="sorted", metadata=dict(static=True)
+        default="gather", metadata=dict(static=True)
     )
 
     @property
@@ -139,8 +135,10 @@ def build_operator(
     # Divergence matrix in padded ELL (for Schur diagonals / SpMV).
     D_cols, D_vals = _assemble_divergence_ell(space, geom, t)
 
-    order_u, seg_u, _ = _sorted_scatter(space.cells_u, space.n_unodes)
-    order_p, seg_p, _ = _sorted_scatter(space.cells_p, space.n_pnodes)
+    plan_u = build_gather_plan(
+        space.cells_u, space.n_unodes, splits=(space.mesh.n_vertices,)
+    )
+    plan_p = build_gather_plan(space.cells_p, space.n_pnodes)
 
     dev = lambda x: jnp.asarray(x, dtype=dtype)  # noqa: E731
     idx = lambda x: jnp.asarray(x, dtype=jnp.int32)  # noqa: E731
@@ -148,10 +146,8 @@ def build_operator(
     return NSOperator(
         cells_u=idx(space.cells_u),
         cells_p=idx(space.cells_p),
-        order_u=idx(order_u),
-        seg_u=idx(seg_u),
-        order_p=idx(order_p),
-        seg_p=idx(seg_p),
+        plan_u=plan_u,
+        plan_p=plan_p,
         detJ=dev(geom.detJ),
         Jinv=dev(geom.Jinv),
         GKd=dev(GKd),
@@ -219,11 +215,7 @@ def scatter_u(op: NSOperator, y_e: jax.Array) -> jax.Array:
     if op.scatter_mode == "scatter_add":
         out = jnp.zeros((op.n_unodes, y_e.shape[-1]), y_e.dtype)
         return out.at[op.cells_u].add(y_e)
-    flat = y_e.reshape(-1, y_e.shape[-1])
-    return jax.ops.segment_sum(
-        flat[op.order_u], op.seg_u, num_segments=op.n_unodes,
-        indices_are_sorted=True,
-    )
+    return apply_gather_plan(op.plan_u, y_e.reshape(-1, y_e.shape[-1]))
 
 
 def scatter_u_scalar(op: NSOperator, d_e: jax.Array) -> jax.Array:
@@ -231,21 +223,14 @@ def scatter_u_scalar(op: NSOperator, d_e: jax.Array) -> jax.Array:
     if op.scatter_mode == "scatter_add":
         out = jnp.zeros((op.n_unodes,), d_e.dtype)
         return out.at[op.cells_u].add(d_e)
-    return jax.ops.segment_sum(
-        d_e.reshape(-1)[op.order_u], op.seg_u, num_segments=op.n_unodes,
-        indices_are_sorted=True,
-    )
+    return apply_gather_plan(op.plan_u, d_e.reshape(-1))
 
 
 def scatter_p(op: NSOperator, y_e: jax.Array) -> jax.Array:
     if op.scatter_mode == "scatter_add":
         out = jnp.zeros((op.n_pnodes,), y_e.dtype)
         return out.at[op.cells_p].add(y_e)
-    flat = y_e.reshape(-1)
-    return jax.ops.segment_sum(
-        flat[op.order_p], op.seg_p, num_segments=op.n_pnodes,
-        indices_are_sorted=True,
-    )
+    return apply_gather_plan(op.plan_p, y_e.reshape(-1))
 
 
 # ----------------------------------------------------------------------
