@@ -1,0 +1,85 @@
+"""Driver benchmark: 3D flow-past-a-cylinder time-stepping throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "steps/s", "vs_baseline": N}
+
+Baseline (BASELINE.json north star): >= 50 time steps/sec at ~1M DoF on one
+TPU chip; `vs_baseline` = value / 50.  Mesh size is tunable via env:
+  NS_BENCH_LC / NS_BENCH_NZ  (default targets ~1M DoF)
+  NS_BENCH_STEPS             (timed steps, default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    lc = float(os.environ.get("NS_BENCH_LC", "0.028"))
+    nz = int(os.environ.get("NS_BENCH_NZ", "12"))
+    n_steps = int(os.environ.get("NS_BENCH_STEPS", "10"))
+
+    import jax
+
+    from navierstokes_project_nm4pde_tpu.config import (
+        NumericsConfig,
+        PrecondConfig,
+        RunConfig,
+        SolverConfig,
+        TimeConfig,
+    )
+    from navierstokes_project_nm4pde_tpu.mesh import cylinder_duct_3d
+    from navierstokes_project_nm4pde_tpu.models import (
+        Cylinder3DProblem,
+        NavierStokesSolver,
+    )
+
+    t0 = time.time()
+    mesh = cylinder_duct_3d(lc=lc, nz=nz)
+    cfg = RunConfig(
+        time=TimeConfig(dt=2e-4, t_end=4.0),
+        solver=SolverConfig(rtol=1e-6, restart=40, maxiter=100),
+        precond=PrecondConfig(kind="yosida", f_iters=4, s_iters=25),
+        numerics=NumericsConfig(
+            dtype="float32", precise_dots=False, steps_per_chunk=n_steps
+        ),
+    )
+    solver = NavierStokesSolver(mesh, Cylinder3DProblem(test_case=2), cfg)
+    n_dofs = solver.space.n_dofs
+    print(
+        f"# mesh: {mesh.n_cells} cells, {n_dofs} DoFs; "
+        f"setup {time.time() - t0:.1f}s; device {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    # Warmup: compile + settle the impulsive start.
+    state, _ = solver.run(3)
+    # Timed run.
+    t0 = time.perf_counter()
+    state, diags = solver.run(n_steps, state=state)
+    jax.block_until_ready(state.u)
+    elapsed = time.perf_counter() - t0
+    steps_per_sec = n_steps / elapsed
+    print(
+        f"# {n_steps} steps in {elapsed:.2f}s; iters/step "
+        f"{list(map(int, diags.iters))}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"3D cylinder time steps/s at {n_dofs} DoF (GMRES rtol 1e-6)",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / 50.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

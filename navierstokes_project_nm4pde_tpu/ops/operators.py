@@ -36,6 +36,7 @@ from navierstokes_project_nm4pde_tpu.ops.scatter import (
     apply_gather_plan,
     build_gather_plan,
 )
+from navierstokes_project_nm4pde_tpu.ops.schur_ell import SchurELL, build_schur_ell
 from navierstokes_project_nm4pde_tpu.ops.tables import RefTables, build_ref_tables
 
 
@@ -71,6 +72,8 @@ class NSOperator:
     # Schur support: divergence matrix rows in padded ELL form
     D_cols: jax.Array  # [n_pnodes, Wd] int32 (padded with 0)
     D_vals: jax.Array  # [n_pnodes, Wd, dim] (padded with 0)
+    # Explicit S~ structure (pattern + pair products; see ops/schur_ell.py)
+    schur: "SchurELL"
     # Dirichlet
     dirichlet_mask: jax.Array  # [n_unodes] bool
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
@@ -134,6 +137,7 @@ def build_operator(
 
     # Divergence matrix in padded ELL (for Schur diagonals / SpMV).
     D_cols, D_vals = _assemble_divergence_ell(space, geom, t)
+    schur = build_schur_ell(space, D_cols, D_vals, dtype=dtype)
 
     plan_u = build_gather_plan(
         space.cells_u, space.n_unodes, splits=(space.mesh.n_vertices,)
@@ -165,6 +169,7 @@ def build_operator(
         diagMp=dev(diagMp),
         D_cols=idx(D_cols),
         D_vals=dev(D_vals),
+        schur=schur,
         dirichlet_mask=jnp.asarray(dirichlet_mask, dtype=bool),
     )
 

@@ -1,0 +1,129 @@
+"""Explicit per-step assembly of the Schur operator S~ = D diag(F)^-1 D^T.
+
+The reference assembles S~ every step with a Trilinos sparse `mmult`
+(ref: include/Preconditioners.hpp:144,248,358,468).  Here the *pattern* and
+the *pair-product table* are precomputed once per mesh:
+
+    S~[i, j] = sum_k D[i, k] * D[j, k] / dF[k]
+
+Every nonzero (i, j) corresponds to a static list of shared velocity-column
+pairs; per time step the values are one gather of dF plus one gather-plan
+reduction.  The inner CG then iterates on a tiny [n_p, W] ELL SpMV (the
+pressure space is 25-30x smaller than the velocity space), instead of two
+full element-space passes per iteration -- on TPUs, where each big
+gather/reduce has a fixed cost, this cuts the dominant per-step expense.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_project_nm4pde_tpu.ops.scatter import (
+    GatherPlan,
+    apply_gather_plan,
+    build_gather_plan,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SchurELL:
+    """Static structure for per-step S~ assembly + SpMV."""
+
+    cols: jax.Array  # [n_p, W] int32 column ids (padded with row id)
+    col_mask: jax.Array  # [n_p, W] 1.0 where a real entry exists
+    # pair-product table: for each product term t:
+    prod_vals: jax.Array  # [T] D[i,k]*D[j,k] summed over components
+    prod_k: jax.Array  # [T] int32 velocity node k (for the 1/dF gather)
+    plan: GatherPlan  # reduces the T products into the n_p*W value slots
+    diag_slot: jax.Array  # [n_p] int32 position of the diagonal in each row
+
+    @property
+    def n_rows(self) -> int:
+        return self.cols.shape[0]
+
+
+def build_schur_ell(
+    space, D_cols: np.ndarray, D_vals: np.ndarray, dtype=jnp.float32
+) -> SchurELL:
+    """Precompute the S~ pattern and pair-product table from the ELL rows of
+    D (cols [n_p, Wd], vals [n_p, Wd, dim])."""
+    n_p, Wd, dim = D_vals.shape
+    # count the real entries per D row
+    # (padded slots have zero vals; detect via any nonzero)
+    real = np.abs(D_vals).sum(axis=2) > 0  # [n_p, Wd]
+
+    # Invert D's columns: for each velocity node k, list of (row i, slot w).
+    ridx, widx = np.nonzero(real)
+    kcol = D_cols[ridx, widx]
+    order = np.argsort(kcol, kind="stable")
+    kcol_s, ridx_s, widx_s = kcol[order], ridx[order], widx[order]
+
+    # Enumerate all products D[i,k]*D[j,k]: for each velocity node k, all
+    # ordered pairs of pressure rows touching k (vectorised).
+    vals_flat = D_vals[ridx_s, widx_s]  # [nnzD, dim]
+    uniq_k, k_start = np.unique(kcol_s, return_index=True)
+    k_counts = np.diff(np.concatenate([k_start, [len(kcol_s)]]))
+    pair_counts = k_counts.astype(np.int64) ** 2
+    T = int(pair_counts.sum())
+    pk = np.repeat(np.arange(len(uniq_k)), pair_counts)  # run id per product
+    pair_off = np.concatenate([[0], np.cumsum(pair_counts)[:-1]])
+    within = np.arange(T, dtype=np.int64) - pair_off[pk]
+    a = within // k_counts[pk]
+    b = within % k_counts[pk]
+    gi = k_start[pk] + a
+    gj = k_start[pk] + b
+    prod_i = ridx_s[gi]
+    prod_j = ridx_s[gj]
+    prod_val = np.einsum("pd,pd->p", vals_flat[gi], vals_flat[gj])
+    prod_k = uniq_k[pk]
+
+    # S~ pattern: unique (i, j) pairs.
+    key = prod_i * np.int64(n_p) + prod_j
+    uniq_pairs, inv = np.unique(key, return_inverse=True)
+    ui = (uniq_pairs // n_p).astype(np.int64)
+    uj = (uniq_pairs % n_p).astype(np.int64)
+    counts = np.bincount(ui, minlength=n_p)
+    W = int(counts.max())
+    row_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(uniq_pairs)) - row_start[ui]
+    cols = np.tile(np.arange(n_p, dtype=np.int64)[:, None], (1, W))
+    mask = np.zeros((n_p, W))
+    cols[ui, slot] = uj
+    mask[ui, slot] = 1.0
+    # flat value-slot id for each product: i*W + slot_of_pair
+    pair_flat_slot = ui * W + slot  # [n_pairs]
+    prod_slot = pair_flat_slot[inv]  # [T]
+
+    plan = build_gather_plan(prod_slot[:, None], n_p * W)
+    diag_slot = np.zeros(n_p, dtype=np.int64)
+    is_diag = ui == uj
+    diag_slot[ui[is_diag]] = slot[is_diag]
+
+    return SchurELL(
+        cols=jnp.asarray(cols, jnp.int32),
+        col_mask=jnp.asarray(mask, dtype),
+        prod_vals=jnp.asarray(prod_val, dtype),
+        prod_k=jnp.asarray(prod_k, jnp.int32),
+        plan=plan,
+        diag_slot=jnp.asarray(diag_slot, jnp.int32),
+    )
+
+
+def assemble_schur_values(s: SchurELL, inv_dF: jax.Array, dtype=None) -> jax.Array:
+    """Per-step values [n_p, W]: reduce product terms weighted by 1/dF."""
+    w = s.prod_vals * inv_dF[s.prod_k]
+    vals = apply_gather_plan(s.plan, w[:, None])[:, 0]
+    return vals.reshape(s.cols.shape)
+
+
+def schur_ell_matvec(s: SchurELL, vals: jax.Array, p: jax.Array) -> jax.Array:
+    return jnp.einsum("pw,pw->p", vals * s.col_mask, p[s.cols])
+
+
+def schur_ell_diag(s: SchurELL, vals: jax.Array) -> jax.Array:
+    return jnp.take_along_axis(vals, s.diag_slot[:, None], axis=1)[:, 0]

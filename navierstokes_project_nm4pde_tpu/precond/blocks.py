@@ -42,6 +42,11 @@ import jax.numpy as jnp
 
 from navierstokes_project_nm4pde_tpu.config import PrecondConfig
 from navierstokes_project_nm4pde_tpu.ops import operators as ops
+from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
+    assemble_schur_values,
+    schur_ell_diag,
+    schur_ell_matvec,
+)
 from navierstokes_project_nm4pde_tpu.solvers.krylov import cg_fixed, gmres_fixed
 
 PRECOND_KINDS = (
@@ -65,6 +70,7 @@ class PrecondState:
     inv_diag_Fhat: jax.Array  # [n_unodes]
     inv_diag_free: jax.Array  # [n_unodes] 1/diagF on free nodes, 0 on constrained
     schur_inv: jax.Array  # [n_unodes] the weight inside S~ (kind-dependent)
+    schur_vals: jax.Array  # [n_pnodes, W] per-step assembled S~ ELL values
     schur_diag: jax.Array  # [n_pnodes] diag(S~) for Jacobi-CG
     conv: ops.ConvectionData | None
 
@@ -92,7 +98,10 @@ def build_precond_state(
         # SIMPLE family: diag(F)^-1 (ref: Preconditioners.hpp:135-144)
         schur_inv = inv_diag_free
 
-    schur_diag = ops.schur_diag(op, jnp.where(mask, 0.0, schur_inv), mask)
+    # Assemble S~ explicitly in its small pressure-space ELL pattern
+    # (the reference's per-step mmult; ref: Preconditioners.hpp:144,248).
+    schur_vals = assemble_schur_values(op.schur, schur_inv)
+    schur_diag = schur_ell_diag(op.schur, schur_vals)
     # Guard empty rows (should not happen: every pressure node touches cells)
     schur_diag = jnp.where(schur_diag > 0, schur_diag, 1.0)
     return PrecondState(
@@ -100,6 +109,7 @@ def build_precond_state(
         inv_diag_Fhat=inv_diag_Fhat,
         inv_diag_free=inv_diag_free,
         schur_inv=schur_inv,
+        schur_vals=schur_vals,
         schur_diag=schur_diag,
         conv=conv,
     )
@@ -125,10 +135,11 @@ def _solve_F(op, st: PrecondState, nu, dt, rhs_u, iters: int):
 
 
 def _solve_S(op, st: PrecondState, rhs_p, iters: int):
-    """Approximately solve S~ z = rhs (CG + Jacobi)."""
+    """Approximately solve S~ z = rhs (CG + Jacobi) on the assembled
+    pressure-space ELL form -- each iteration is one tiny [n_p, W] SpMV."""
 
     def S(p):
-        return ops.apply_schur(op, st.schur_inv, p)
+        return schur_ell_matvec(op.schur, st.schur_vals, p)
 
     Minv = 1.0 / st.schur_diag
     return cg_fixed(S, rhs_p, lambda v: Minv * v, iters=iters)
