@@ -44,10 +44,20 @@ class PrecondConfig:
 
     kind: str = "asimple"
     alpha: float = 1.0  # SIMPLE damping; ref uses 0.5 (SIMPLE) / 1.0 (aSIMPLE)
-    # Velocity-block (F) inner solve: fixed GMRES iterations.
+    # Velocity-block (F) inner solve: fixed iterations.
     f_iters: int = 8
-    # Schur-block inner solve: CG iterations (fixed count, compilable).
+    # "gmres" (robust) or "richardson" (dot-free damped Jacobi; TPU-cheap --
+    # every scalar reduction has a fixed cost on-device).
+    f_solver: str = "gmres"
+    omega: float = 0.9  # Richardson damping
+    # Schur-block inner solve: fixed iterations; "cg" or "chebyshev"
+    # (dot-free; bounds from one per-step power iteration).
     s_iters: int = 25
+    s_solver: str = "cg"
+    # Apply the preconditioner's velocity-block operators in bfloat16
+    # (halves the gather traffic that dominates on TPU; the outer flexible
+    # GMRES sees the preconditioner as a black box so accuracy is unaffected).
+    low_precision: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -244,7 +244,9 @@ class NavierStokesSolver:
         t_new = state.t + dt
 
         conv = ops.convection_setup(op, state.u)
-        pst = build_precond_state(op, nu, dt, conv, cfg.precond.kind)
+        pst = build_precond_state(
+            op, nu, dt, conv, cfg.precond.kind, s_solver=cfg.precond.s_solver
+        )
 
         # RHS: (M/dt) u_n (ref: src/NavierStokes2D.cpp:270,450)
         rhs_u = ops.apply_mass(op, state.u) / dt

@@ -48,6 +48,11 @@ from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
     schur_ell_matvec,
 )
 from navierstokes_project_nm4pde_tpu.solvers.krylov import cg_fixed, gmres_fixed
+from navierstokes_project_nm4pde_tpu.solvers.smoothers import (
+    chebyshev_fixed,
+    power_lambda_max,
+    richardson_fixed,
+)
 
 PRECOND_KINDS = (
     "identity",
@@ -72,6 +77,7 @@ class PrecondState:
     schur_inv: jax.Array  # [n_unodes] the weight inside S~ (kind-dependent)
     schur_vals: jax.Array  # [n_pnodes, W] per-step assembled S~ ELL values
     schur_diag: jax.Array  # [n_pnodes] diag(S~) for Jacobi-CG
+    schur_lam_max: jax.Array  # estimated lam_max of Jacobi-scaled S~ (Chebyshev)
     conv: ops.ConvectionData | None
 
 
@@ -81,6 +87,7 @@ def build_precond_state(
     dt,
     conv: ops.ConvectionData | None,
     kind: str,
+    s_solver: str = "cg",
 ) -> PrecondState:
     mask = op.dirichlet_mask
     dF = ops.diag_F(op, nu, dt, conv)
@@ -104,6 +111,17 @@ def build_precond_state(
     schur_diag = schur_ell_diag(op.schur, schur_vals)
     # Guard empty rows (should not happen: every pressure node touches cells)
     schur_diag = jnp.where(schur_diag > 0, schur_diag, 1.0)
+    if s_solver == "chebyshev":
+        inv_d = 1.0 / schur_diag
+        v0 = jnp.sin(jnp.arange(op.n_pnodes, dtype=schur_diag.dtype))
+        lam_max = power_lambda_max(
+            lambda p: schur_ell_matvec(op.schur, schur_vals, p),
+            lambda p: inv_d * p,
+            v0,
+            iters=8,
+        )
+    else:
+        lam_max = jnp.asarray(2.0, schur_diag.dtype)
     return PrecondState(
         diag_Fhat=diag_Fhat,
         inv_diag_Fhat=inv_diag_Fhat,
@@ -111,6 +129,7 @@ def build_precond_state(
         schur_inv=schur_inv,
         schur_vals=schur_vals,
         schur_diag=schur_diag,
+        schur_lam_max=lam_max,
         conv=conv,
     )
 
@@ -118,31 +137,57 @@ def build_precond_state(
 # ----------------------------------------------------------------------
 # Inner solves
 # ----------------------------------------------------------------------
-def _solve_F(op, st: PrecondState, nu, dt, rhs_u, iters: int):
-    """Approximately solve F_hat z = rhs (GMRES + Jacobi), flat over [n, dim]."""
+def _solve_F(op, st: PrecondState, nu, dt, rhs_u, cfg: PrecondConfig):
+    """Approximately solve F_hat z = rhs, flat over [n, dim].
+
+    f_solver="gmres": Jacobi-preconditioned fixed-iteration GMRES (robust).
+    f_solver="richardson": dot-free damped Jacobi (F is mass-dominated at
+    practical dt, so the Jacobi-scaled spectrum clusters near 1).
+    With cfg.low_precision the operator input is cast to bfloat16 -- the
+    gathers that dominate the apply cost move half the bytes."""
     n, d = rhs_u.shape
     mask = op.dirichlet_mask
+    dtype = rhs_u.dtype
+    cast = jnp.bfloat16 if cfg.low_precision else None
 
     def Aflat(v):
         u = v.reshape(n, d)
-        y = ops.apply_F(op, nu, dt, st.conv, u)
-        y = jnp.where(mask[:, None], u, y)
+        if cast is not None:
+            u = u.astype(cast)
+        y = ops.apply_F(op, nu, dt, st.conv, u).astype(dtype)
+        y = jnp.where(mask[:, None], v.reshape(n, d), y)
         return y.reshape(-1)
 
     Minv = st.inv_diag_Fhat[:, None].repeat(d, axis=1).reshape(-1)
-    z = gmres_fixed(Aflat, rhs_u.reshape(-1), lambda v: Minv * v, iters=iters)
+    if cfg.f_solver == "richardson":
+        z = richardson_fixed(
+            Aflat, rhs_u.reshape(-1), lambda v: Minv * v,
+            iters=cfg.f_iters, omega=cfg.omega,
+        )
+    else:
+        z = gmres_fixed(
+            Aflat, rhs_u.reshape(-1), lambda v: Minv * v, iters=cfg.f_iters
+        )
     return z.reshape(n, d)
 
 
-def _solve_S(op, st: PrecondState, rhs_p, iters: int):
-    """Approximately solve S~ z = rhs (CG + Jacobi) on the assembled
-    pressure-space ELL form -- each iteration is one tiny [n_p, W] SpMV."""
+def _solve_S(op, st: PrecondState, rhs_p, cfg: PrecondConfig):
+    """Approximately solve S~ z = rhs on the assembled pressure-space ELL
+    form -- each iteration is one tiny [n_p, W] SpMV.  s_solver="chebyshev"
+    avoids CG's per-iteration dot products using the per-step power-iteration
+    estimate of lam_max."""
 
     def S(p):
         return schur_ell_matvec(op.schur, st.schur_vals, p)
 
     Minv = 1.0 / st.schur_diag
-    return cg_fixed(S, rhs_p, lambda v: Minv * v, iters=iters)
+    if cfg.s_solver == "chebyshev":
+        lam_max = 1.05 * st.schur_lam_max
+        return chebyshev_fixed(
+            S, rhs_p, lambda v: Minv * v, iters=cfg.s_iters,
+            lam_min=lam_max / 30.0, lam_max=lam_max,
+        )
+    return cg_fixed(S, rhs_p, lambda v: Minv * v, iters=cfg.s_iters)
 
 
 def _dt_apply(op, p):
@@ -177,7 +222,7 @@ def apply_precond(
         # stiffness solve stops preconditioning M/dt and the outer solver
         # stalls.  The pressure block stays the nu-scaled pressure mass
         # (Cahouet-Chabard-style), ref: src/NavierStokes2D.cpp:265.
-        z_u = _solve_F(op, st, nu, dt, v_u, cfg.f_iters)
+        z_u = _solve_F(op, st, nu, dt, v_u, cfg)
         rhs_p = v_p - ops.apply_divergence(op, z_u)
 
         def Mp(p):
@@ -190,9 +235,9 @@ def apply_precond(
     if kind in ("simple", "asimple"):
         # ref: Preconditioners.hpp:118-217 (SIMPLE), :220-329 (aSIMPLE)
         alpha = cfg.alpha
-        y_u = _solve_F(op, st, nu, dt, v_u, cfg.f_iters)
+        y_u = _solve_F(op, st, nu, dt, v_u, cfg)
         rhs_p = v_p - ops.apply_divergence(op, y_u)
-        y_p = _solve_S(op, st, rhs_p, cfg.s_iters)
+        y_p = _solve_S(op, st, rhs_p, cfg)
         z_p = y_p / alpha
         corr = st.inv_diag_free[:, None] * _dt_apply(op, z_p)
         z_u = y_u + corr
@@ -201,13 +246,13 @@ def apply_precond(
     if kind == "yosida":
         # ref: Preconditioners.hpp:332-423 -- L-solve with S~ from dt*M^-1,
         # then a second F solve for the velocity correction.
-        y_u = _solve_F(op, st, nu, dt, v_u, cfg.f_iters)
+        y_u = _solve_F(op, st, nu, dt, v_u, cfg)
         rhs_p = v_p - ops.apply_divergence(op, y_u)
-        y_p = _solve_S(op, st, rhs_p, cfg.s_iters)
+        y_p = _solve_S(op, st, rhs_p, cfg)
         z_p = y_p
         rhs_corr = _dt_apply(op, z_p)
         rhs_corr = jnp.where(op.dirichlet_mask[:, None], 0.0, rhs_corr)
-        corr = _solve_F(op, st, nu, dt, rhs_corr, cfg.f_iters)
+        corr = _solve_F(op, st, nu, dt, rhs_corr, cfg)
         z_u = y_u + corr
         return z_u, z_p
 
@@ -219,7 +264,7 @@ def apply_precond(
         # anomalous -- SURVEY.md section 7 quirks.)
         y_u = st.inv_diag_Fhat[:, None] * v_u
         rhs_p = v_p - ops.apply_divergence(op, y_u)
-        y_p = _solve_S(op, st, rhs_p, cfg.s_iters)
+        y_p = _solve_S(op, st, rhs_p, cfg)
         z_p = y_p
         corr = st.inv_diag_free[:, None] * _dt_apply(op, z_p)
         z_u = y_u + corr
