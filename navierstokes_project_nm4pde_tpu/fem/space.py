@@ -92,13 +92,11 @@ def build_taylor_hood(mesh: Mesh) -> TaylorHoodSpace:
     n_v = mesh.n_vertices
     loc_edges = np.array(_local_edges(dim), dtype=np.int64)  # [n_le, 2]
 
-    # --- unique edges and per-cell edge ids -------------------------------
-    cell_edge_pairs = cells[:, loc_edges]  # [n_c, n_le, 2]
-    flat = cell_edge_pairs.reshape(-1, 2)
-    keys = _pack_pairs(flat, n_v)
-    uniq_keys, inv = np.unique(keys, return_inverse=True)
-    edges = np.stack([uniq_keys // n_v, uniq_keys % n_v], axis=1).astype(np.int32)
-    edge_ids = inv.reshape(cells.shape[0], loc_edges.shape[0])
+    # --- unique edges and per-cell edge ids (native meshkit or numpy) -----
+    from navierstokes_project_nm4pde_tpu.mesh.native import build_edges
+
+    edges, edge_ids = build_edges(cells, loc_edges, n_v)
+    uniq_keys = edges[:, 0].astype(np.int64) * np.int64(n_v) + edges[:, 1]
 
     cells_u = np.concatenate([cells, n_v + edge_ids], axis=1).astype(np.int32)
 

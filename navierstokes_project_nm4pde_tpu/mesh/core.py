@@ -112,6 +112,11 @@ class Mesh:
 
         Returns (bface_cell [n_bf], bface_local [n_bf]).
         """
+        from navierstokes_project_nm4pde_tpu.mesh.native import match_facets
+
+        native = match_facets(self.cells, self.bface_verts)
+        if native is not None:
+            return native
         facets, cell_ids, local_ids = self._all_facets()
         keys = self._facet_keys(facets)
         order = np.argsort(keys, kind="stable")

@@ -44,29 +44,21 @@ def build_gather_plan(
 
     `splits` are row boundaries for valence buckets (e.g. (n_vertices,) to
     separate P2 vertex rows from edge rows); each bucket gets its own padded
-    width = its max valence."""
-    flat = cells.reshape(-1).astype(np.int64)
+    width = its max valence.  Uses the native meshkit O(N) inversion when
+    available (numpy argsort fallback inside `invert_map`)."""
+    from navierstokes_project_nm4pde_tpu.mesh.native import invert_map
+
+    flat = cells.reshape(-1).astype(np.int32)
     n_slots = flat.shape[0]
-    order = np.argsort(flat, kind="stable")
-    sorted_rows = flat[order]
-    counts = np.bincount(sorted_rows, minlength=n_rows)
-    starts = np.concatenate([[0], np.cumsum(counts)])
+    slots_full, counts = invert_map(flat, n_rows, pad_value=n_slots)
 
     bounds = (0,) + tuple(splits) + (n_rows,)
     slot_tables = []
     for b in range(len(bounds) - 1):
         lo, hi = bounds[b], bounds[b + 1]
         c = counts[lo:hi]
-        K = int(c.max()) if c.size else 0
-        K = max(K, 1)
-        tab = np.full(((hi - lo), K), n_slots, dtype=np.int64)
-        # positions of each row's contributions in `order`
-        idx = np.arange(len(sorted_rows))
-        sel = (sorted_rows >= lo) & (sorted_rows < hi)
-        rows_sel = sorted_rows[sel] - lo
-        pos_in_row = idx[sel] - starts[sorted_rows[sel]]
-        tab[rows_sel, pos_in_row] = order[sel]
-        slot_tables.append(jnp.asarray(tab, dtype=jnp.int32))
+        K = max(int(c.max()) if c.size else 1, 1)
+        slot_tables.append(jnp.asarray(slots_full[lo:hi, :K], dtype=jnp.int32))
     return GatherPlan(
         slots=tuple(slot_tables),
         n_slots=n_slots,
