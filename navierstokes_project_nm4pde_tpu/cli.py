@@ -63,6 +63,8 @@ def _common_flags(p, dt, t_end, precond):
     p.add_argument("--f-iters", type=int, default=6)
     p.add_argument("--s-iters", type=int, default=30)
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--nu", type=float, default=None, help="kinematic viscosity override (Re sweeps)")
+    p.add_argument("--debug-nans", action="store_true", help="enable jax.debug_nans")
     p.add_argument("--no-precise-dots", action="store_true")
     p.add_argument("--steps-per-chunk", type=int, default=10)
     p.add_argument("--output-dir", type=str, default=None)
@@ -97,10 +99,15 @@ def _run_cylinder(args, dim: int):
         mesh = cylinder_duct_3d(lc=args.lc, nz=args.nz)
     print(f"Mesh: {mesh.n_cells} cells, {mesh.n_vertices} vertices")
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    nu_kw = {} if args.nu is None else {"nu": args.nu}
     problem = (
-        Cylinder2DProblem(test_case=args.test_case)
+        Cylinder2DProblem(test_case=args.test_case, **nu_kw)
         if dim == 2
-        else Cylinder3DProblem(test_case=args.test_case)
+        else Cylinder3DProblem(test_case=args.test_case, **nu_kw)
     )
     cfg = _build_config(args, None)
     solver = NavierStokesSolver(mesh, problem, cfg)
