@@ -228,6 +228,78 @@ def _run_convergence(args):
     return rates
 
 
+def _run_ensemble(args):
+    """Vmapped Reynolds sweep (BASELINE.json config 5: '64 vmapped 3D
+    cylinder runs over Re in [20, 300]') -- a capability the reference can
+    only emulate with separate mpirun launches."""
+    import numpy as np
+
+    from navierstokes_project_nm4pde_tpu.io import CSVLogger
+    from navierstokes_project_nm4pde_tpu.mesh import (
+        cylinder_channel_2d,
+        cylinder_duct_3d,
+        read_msh,
+    )
+    from navierstokes_project_nm4pde_tpu.models import (
+        Cylinder2DProblem,
+        Cylinder3DProblem,
+        NavierStokesSolver,
+    )
+    from navierstokes_project_nm4pde_tpu.parallel import run_ensemble
+    from navierstokes_project_nm4pde_tpu.utils import Timer
+
+    timer = Timer(sync=False).start()
+    if args.mesh:
+        mesh = read_msh(args.mesh)
+    elif args.dim == 2:
+        mesh = cylinder_channel_2d(lc=args.lc)
+    else:
+        mesh = cylinder_duct_3d(lc=args.lc, nz=args.nz)
+    problem = (
+        Cylinder2DProblem(test_case=args.test_case)
+        if args.dim == 2
+        else Cylinder3DProblem(test_case=args.test_case)
+    )
+    cfg = _build_config(args, None)
+    solver = NavierStokesSolver(mesh, problem, cfg)
+
+    # Re = U_mean * D / nu with the benchmark's U_mean/D
+    U = float(problem.mean_velocity(1e9)) if args.dim == 2 else 4.0 * 9.0 / 9.0
+    U = abs(U) or 1.0
+    re = np.linspace(args.re_min, args.re_max, args.n_members)
+    nus = U * problem.diameter / re
+    print(f"Ensemble: {args.n_members} members, Re in [{re[0]:.0f}, {re[-1]:.0f}], "
+          f"{mesh.n_cells} cells, {solver.space.n_dofs} DoFs each")
+
+    sharding = None
+    if args.shard_batch:
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        n = max(1, len(devs))
+        b = args.n_members
+        nshard = n if b % n == 0 else 1
+        sharding = NamedSharding(
+            Mesh(np.array(devs[:nshard]), ("batch",)), P("batch")
+        )
+
+    n_steps = args.n_steps or cfg.time.n_steps
+    bstate, bdiags = run_ensemble(solver, nus, n_steps, sharding=sharding)
+    out_dir = args.output_dir or "outputEnsemble"
+    log = CSVLogger(out_dir)
+    rows = []
+    for m in range(args.n_members):
+        cd = bdiags.c_d[m]
+        cl = bdiags.c_l[m]
+        rows.append((re[m], nus[m], float(np.max(cd)), float(np.min(cl)),
+                     float(bdiags.delta_p[m][-1])))
+    log._append(
+        "ensemble.csv", "Re,nu,cd_max,cl_min,delta_p_final", rows
+    )
+    print(f"Wrote {out_dir}/ensemble.csv; wall time {timer.stop():.1f}s")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="navierstokes-tpu",
@@ -246,6 +318,18 @@ def main(argv=None):
     p3.add_argument("--nz", type=int, default=8)
     p3.add_argument("--test-case", type=int, default=2)
 
+    pe = sub.add_parser("ensemble", help="vmapped Reynolds-sweep ensemble")
+    _common_flags(pe, dt=0.01, t_end=0.5, precond="asimple")
+    pe.add_argument("--dim", type=int, default=3, choices=[2, 3])
+    pe.add_argument("--lc", type=float, default=0.08)
+    pe.add_argument("--nz", type=int, default=4)
+    pe.add_argument("--test-case", type=int, default=2)
+    pe.add_argument("--n-members", type=int, default=64)
+    pe.add_argument("--re-min", type=float, default=20.0)
+    pe.add_argument("--re-max", type=float, default=300.0)
+    pe.add_argument("--shard-batch", action="store_true",
+                    help="shard the ensemble axis over available devices")
+
     pc = sub.add_parser("convergence", help="Ethier-Steinman convergence study")
     _common_flags(pc, dt=4e-4, t_end=4e-4, precond="asimple")
     pc.add_argument("--levels", type=int, nargs="+", default=[2, 4, 8, 16],
@@ -259,6 +343,8 @@ def main(argv=None):
         _run_cylinder(args, dim=3)
     elif args.cmd == "convergence":
         _run_convergence(args)
+    elif args.cmd == "ensemble":
+        _run_ensemble(args)
 
 
 if __name__ == "__main__":
