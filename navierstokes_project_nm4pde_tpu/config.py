@@ -80,6 +80,12 @@ class TimeConfig:
 
     dt: float = 0.01
     t_end: float = 8.0
+    # "bdf1": semi-implicit first order (the reference's live scheme,
+    # ref: src/NavierStokes2D.cpp:250-253).  "bdf2": second-order backward
+    # differentiation with extrapolated convection w = 2u_n - u_{n-1}
+    # (the reference carries only a dead BDF2 branch gated on time == -1;
+    # ref: src/NavierStokes3D.cpp:390-394 -- here it is a real option).
+    scheme: str = "bdf1"
 
     @property
     def n_steps(self) -> int:

@@ -25,6 +25,8 @@ def save_checkpoint(path: str, state: State, meta: dict | None = None):
         "t": np.asarray(jax.device_get(state.t)),
         "step": np.asarray(jax.device_get(state.step)),
     }
+    if state.u_prev is not None:
+        arrays["u_prev"] = np.asarray(jax.device_get(state.u_prev))
     if meta:
         for k, v in meta.items():
             arrays[f"meta_{k}"] = np.asarray(v)
@@ -38,4 +40,7 @@ def load_checkpoint(path: str, dtype=jnp.float32) -> State:
             p=jnp.asarray(z["p"], dtype=dtype),
             t=jnp.asarray(z["t"], dtype=dtype),
             step=jnp.asarray(z["step"], dtype=jnp.int32),
+            u_prev=jnp.asarray(z["u_prev"], dtype=dtype)
+            if "u_prev" in z
+            else None,
         )

@@ -80,6 +80,7 @@ class State:
     p: jax.Array  # [n_pnodes]
     t: jax.Array  # scalar time
     step: jax.Array  # int32 step counter
+    u_prev: jax.Array | None = None  # u^{n-1} (BDF2 history)
 
 
 @jax.tree_util.register_dataclass
@@ -204,7 +205,11 @@ class NavierStokesSolver:
         else:
             p = jnp.zeros(self.space.n_pnodes, self.dtype)
         return State(
-            u=u, p=p, t=jnp.asarray(0.0, self.dtype), step=jnp.asarray(0, jnp.int32)
+            u=u,
+            p=p,
+            t=jnp.asarray(0.0, self.dtype),
+            step=jnp.asarray(0, jnp.int32),
+            u_prev=u if self.config.time.scheme == "bdf2" else None,
         )
 
     # ------------------------------------------------------------------
@@ -243,13 +248,33 @@ class NavierStokesSolver:
         op = self.op
         t_new = state.t + dt
 
-        conv = ops.convection_setup(op, state.u)
-        pst = build_precond_state(
-            op, nu, dt, conv, cfg.precond.kind, s_solver=cfg.precond.s_solver
-        )
+        if cfg.time.scheme == "bdf2":
+            # BDF2 with extrapolated convection; falls back to BDF1 on the
+            # first step (no history yet).  All branching is arithmetic so
+            # the same compiled program covers both phases under scan.
+            first = (state.step == 0).astype(self.dtype)
+            beta = 1.5 - 0.5 * first  # 1.0 on step 0, else 3/2
+            w = jnp.where(first > 0, state.u, 2.0 * state.u - state.u_prev)
+            hist = jnp.where(
+                first > 0,
+                state.u / dt,
+                (4.0 * state.u - state.u_prev) / (2.0 * dt),
+            )
+            dt_eff = dt / beta
+        else:
+            w = state.u
+            hist = state.u / dt
+            dt_eff = dt
 
-        # RHS: (M/dt) u_n (ref: src/NavierStokes2D.cpp:270,450)
-        rhs_u = ops.apply_mass(op, state.u) / dt
+        conv = ops.convection_setup(op, w)
+        pst = build_precond_state(
+            op, nu, dt_eff, conv, cfg.precond.kind, s_solver=cfg.precond.s_solver
+        )
+        dt = dt_eff  # the velocity block is F = M/dt_eff + nu*A + C(w)
+
+        # RHS: mass applied to the BDF history combination
+        # (BDF1: (M/dt) u_n, ref: src/NavierStokes2D.cpp:270,450)
+        rhs_u = ops.apply_mass(op, hist)
 
         if self.neumann is not None:
             rhs_u = rhs_u + self._neumann_rhs(t_new)
@@ -288,7 +313,13 @@ class NavierStokesSolver:
             precise=cfg.numerics.precise_dots,
         )
         u_new, p_new = self._unpack(x)
-        new_state = State(u=u_new, p=p_new, t=t_new, step=state.step + 1)
+        new_state = State(
+            u=u_new,
+            p=p_new,
+            t=t_new,
+            step=state.step + 1,
+            u_prev=state.u if cfg.time.scheme == "bdf2" else None,
+        )
 
         diag = self._diagnostics(u_new, p_new, t_new, info, nu)
         return new_state, diag
