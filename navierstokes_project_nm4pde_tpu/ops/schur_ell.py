@@ -37,9 +37,11 @@ class SchurELL:
     cols: jax.Array  # [n_p, W] int32 column ids (padded with row id)
     col_mask: jax.Array  # [n_p, W] 1.0 where a real entry exists
     # pair-product table: for each product term t:
-    prod_vals: jax.Array  # [T] D[i,k]*D[j,k] summed over components
+    prod_vals: jax.Array  # [T] D[i,k]*D[j,k] summed over components (i <= j)
     prod_k: jax.Array  # [T] int32 velocity node k (for the 1/dF gather)
     plan: GatherPlan  # reduces the T products into the n_p*W value slots
+    mirror: jax.Array  # [n_p*W] int32: lower-triangle slots point at their
+    # upper-triangle mirror (S~ is symmetric; only i <= j is assembled)
     diag_slot: jax.Array  # [n_p] int32 position of the diagonal in each row
 
     @property
@@ -82,7 +84,7 @@ def build_schur_ell(
     prod_val = np.einsum("pd,pd->p", vals_flat[gi], vals_flat[gj])
     prod_k = uniq_k[pk]
 
-    # S~ pattern: unique (i, j) pairs.
+    # S~ pattern: unique (i, j) pairs (full pattern for the SpMV).
     key = prod_i * np.int64(n_p) + prod_j
     uniq_pairs, inv = np.unique(key, return_inverse=True)
     ui = (uniq_pairs // n_p).astype(np.int64)
@@ -95,9 +97,21 @@ def build_schur_ell(
     mask = np.zeros((n_p, W))
     cols[ui, slot] = uj
     mask[ui, slot] = 1.0
-    # flat value-slot id for each product: i*W + slot_of_pair
     pair_flat_slot = ui * W + slot  # [n_pairs]
-    prod_slot = pair_flat_slot[inv]  # [T]
+
+    # Symmetry: assemble only products with i <= j; lower-triangle entries
+    # mirror their transpose through a flat gather after assembly.
+    upper = prod_i <= prod_j
+    prod_slot = pair_flat_slot[inv][upper]  # [T_upper]
+    prod_val = prod_val[upper]
+    prod_k = prod_k[upper]
+
+    mirror = np.arange(n_p * W, dtype=np.int64)
+    lower = ui > uj
+    tkey = uj[lower] * np.int64(n_p) + ui[lower]
+    tpos = np.searchsorted(uniq_pairs, tkey)
+    mirror_flat = mirror.copy()
+    mirror_flat[pair_flat_slot[lower]] = pair_flat_slot[tpos]
 
     plan = build_gather_plan(prod_slot[:, None], n_p * W)
     diag_slot = np.zeros(n_p, dtype=np.int64)
@@ -110,14 +124,17 @@ def build_schur_ell(
         prod_vals=jnp.asarray(prod_val, dtype),
         prod_k=jnp.asarray(prod_k, jnp.int32),
         plan=plan,
+        mirror=jnp.asarray(mirror_flat, jnp.int32),
         diag_slot=jnp.asarray(diag_slot, jnp.int32),
     )
 
 
 def assemble_schur_values(s: SchurELL, inv_dF: jax.Array, dtype=None) -> jax.Array:
-    """Per-step values [n_p, W]: reduce product terms weighted by 1/dF."""
+    """Per-step values [n_p, W]: reduce upper-triangle product terms weighted
+    by 1/dF, then mirror the lower triangle (S~ is symmetric)."""
     w = s.prod_vals * inv_dF[s.prod_k]
     vals = apply_gather_plan(s.plan, w[:, None])[:, 0]
+    vals = vals[s.mirror]
     return vals.reshape(s.cols.shape)
 
 
