@@ -268,7 +268,8 @@ class NavierStokesSolver:
 
         conv = ops.convection_setup(op, w)
         pst = build_precond_state(
-            op, nu, dt_eff, conv, cfg.precond.kind, s_solver=cfg.precond.s_solver
+            op, nu, dt_eff, conv, cfg.precond.kind,
+            s_solver=cfg.precond.s_solver, f_solver=cfg.precond.f_solver,
         )
         dt = dt_eff  # the velocity block is F = M/dt_eff + nu*A + C(w)
 

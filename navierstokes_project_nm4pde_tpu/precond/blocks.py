@@ -78,6 +78,7 @@ class PrecondState:
     schur_vals: jax.Array  # [n_pnodes, W] per-step assembled S~ ELL values
     schur_diag: jax.Array  # [n_pnodes] diag(S~) for Jacobi-CG
     schur_lam_max: jax.Array  # estimated lam_max of Jacobi-scaled S~ (Chebyshev)
+    f_lam_max: jax.Array  # estimated lam_max of Jacobi-scaled F (Richardson)
     conv: ops.ConvectionData | None
 
 
@@ -88,6 +89,7 @@ def build_precond_state(
     conv: ops.ConvectionData | None,
     kind: str,
     s_solver: str = "cg",
+    f_solver: str = "gmres",
 ) -> PrecondState:
     mask = op.dirichlet_mask
     dF = ops.diag_F(op, nu, dt, conv)
@@ -122,6 +124,24 @@ def build_precond_state(
         )
     else:
         lam_max = jnp.asarray(2.0, schur_diag.dtype)
+
+    if f_solver == "richardson":
+        # lam_max of diag(F)^-1 F: the P2 mass block alone already exceeds 2
+        # (P2 mass matrices are not diagonally dominant), so a fixed damping
+        # diverges -- estimate per step and damp by 1/lam_max.
+        n, d = op.n_unodes, op.dim
+
+        def Fj(v):
+            u = v.reshape(n, d)
+            y = ops.apply_F(op, nu, dt, conv, u)
+            y = jnp.where(mask[:, None], u, y)
+            return y.reshape(-1)
+
+        minv = inv_diag_Fhat[:, None].repeat(d, axis=1).reshape(-1)
+        v0 = jnp.sin(jnp.arange(n * d, dtype=schur_diag.dtype))
+        f_lam = power_lambda_max(Fj, lambda v: minv * v, v0, iters=6)
+    else:
+        f_lam = jnp.asarray(2.0, schur_diag.dtype)
     return PrecondState(
         diag_Fhat=diag_Fhat,
         inv_diag_Fhat=inv_diag_Fhat,
@@ -130,6 +150,7 @@ def build_precond_state(
         schur_vals=schur_vals,
         schur_diag=schur_diag,
         schur_lam_max=lam_max,
+        f_lam_max=f_lam,
         conv=conv,
     )
 
@@ -160,9 +181,10 @@ def _solve_F(op, st: PrecondState, nu, dt, rhs_u, cfg: PrecondConfig):
 
     Minv = st.inv_diag_Fhat[:, None].repeat(d, axis=1).reshape(-1)
     if cfg.f_solver == "richardson":
+        omega = (cfg.omega / (0.5 * (1.0 + st.f_lam_max))).astype(dtype)
         z = richardson_fixed(
             Aflat, rhs_u.reshape(-1), lambda v: Minv * v,
-            iters=cfg.f_iters, omega=cfg.omega,
+            iters=cfg.f_iters, omega=omega,
         )
     else:
         z = gmres_fixed(
