@@ -399,13 +399,20 @@ class NavierStokesSolver:
             state = self.initial_state()
         chunk = max(1, self.config.numerics.steps_per_chunk)
 
-        @partial(jax.jit, static_argnames=("k",))
-        def run_chunk(state, k):
-            def body(st, _):
-                st, d = self.step(st)
-                return st, d
+        # The jitted chunk runner is cached on the solver so repeated run()
+        # calls (and CLI chunk loops) reuse the compiled executable.
+        if not hasattr(self, "_run_chunk"):
 
-            return jax.lax.scan(body, state, None, length=k)
+            @partial(jax.jit, static_argnames=("k",))
+            def run_chunk(state, k):
+                def body(st, _):
+                    st, d = self.step(st)
+                    return st, d
+
+                return jax.lax.scan(body, state, None, length=k)
+
+            self._run_chunk = run_chunk
+        run_chunk = self._run_chunk
 
         all_diags = []
         done = 0
