@@ -30,6 +30,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _matvec_dots(V, w, precise: bool):
+    """Row-wise dot products V @ w as one matmul (optionally f64-accumulated)."""
+    if precise:
+        return (V.astype(jnp.float64) @ w.astype(jnp.float64)).astype(w.dtype)
+    return V @ w
+
+
 def _dot(x, y, precise: bool):
     if precise:
         return jnp.sum(x.astype(jnp.float64) * y.astype(jnp.float64)).astype(
@@ -101,16 +108,16 @@ def fgmres(
             V, Z, H, cs, sn, g, j, res = carry
             z = M(V[j])
             w = A(z)
-            # Modified Gram-Schmidt against all m+1 slots, masked to <= j.
-            def mgs(i, val):
-                w, h = val
-                hij = jnp.where(i <= j, _dot(V[i], w, precise), 0.0)
-                w = w - hij * V[i]
-                return w, h.at[i].set(hij)
-
-            w, hcol = jax.lax.fori_loop(
-                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype))
-            )
+            # Batched classical Gram-Schmidt with reorthogonalisation (CGS2):
+            # two matmuls against the whole basis instead of a sequential MGS
+            # loop -- hundreds of tiny dot/axpy ops collapse into 4 large ones
+            # (TPU ops have a fixed launch cost).  Rows > j of V are exactly
+            # zero (fresh basis each cycle), so no masking is needed.
+            hcol1 = _matvec_dots(V, w, precise)
+            w = w - V.T @ hcol1
+            hcol2 = _matvec_dots(V, w, precise)
+            w = w - V.T @ hcol2
+            hcol = hcol1 + hcol2
             hlast = _norm(w, precise)
             hcol = hcol.at[j + 1].set(hlast)
             V = V.at[j + 1].set(jnp.where(hlast > 0, w / hlast, w))
@@ -267,13 +274,12 @@ def gmres_fixed(A: Callable, b: jax.Array, M: Callable, iters: int, precise: boo
         V, Z, H = carry
         z = M(V[j])
         w = A(z)
-
-        def mgs(i, val):
-            w, h = val
-            hij = jnp.where(i <= j, _dot(V[i], w, precise), 0.0)
-            return w - hij * V[i], h.at[i].set(hij)
-
-        w, hcol = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+        # Batched CGS2 (rows > j of V are zero; see fgmres).
+        hcol1 = _matvec_dots(V, w, precise)
+        w = w - V.T @ hcol1
+        hcol2 = _matvec_dots(V, w, precise)
+        w = w - V.T @ hcol2
+        hcol = hcol1 + hcol2
         hlast = _norm(w, precise)
         V = V.at[j + 1].set(jnp.where(hlast > 0, w / hlast, w))
         Z = Z.at[j].set(z)
