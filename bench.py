@@ -21,6 +21,12 @@ def main():
     lc = float(os.environ.get("NS_BENCH_LC", "0.028"))
     nz = int(os.environ.get("NS_BENCH_NZ", "12"))
     n_steps = int(os.environ.get("NS_BENCH_STEPS", "10"))
+    chunk = int(os.environ.get("NS_BENCH_CHUNK", "2"))  # short chunks: the
+    # device runtime kills programs running longer than ~2 minutes
+    precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
+    f_iters = int(os.environ.get("NS_BENCH_F_ITERS", "4"))
+    s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "25"))
+    restart = int(os.environ.get("NS_BENCH_RESTART", "20"))
 
     import jax
 
@@ -41,10 +47,10 @@ def main():
     mesh = cylinder_duct_3d(lc=lc, nz=nz)
     cfg = RunConfig(
         time=TimeConfig(dt=2e-4, t_end=4.0),
-        solver=SolverConfig(rtol=1e-6, restart=40, maxiter=100),
-        precond=PrecondConfig(kind="yosida", f_iters=4, s_iters=25),
+        solver=SolverConfig(rtol=1e-6, restart=restart, maxiter=100),
+        precond=PrecondConfig(kind=precond, f_iters=f_iters, s_iters=s_iters),
         numerics=NumericsConfig(
-            dtype="float32", precise_dots=False, steps_per_chunk=n_steps
+            dtype="float32", precise_dots=False, steps_per_chunk=chunk
         ),
     )
     solver = NavierStokesSolver(mesh, Cylinder3DProblem(test_case=2), cfg)
@@ -56,7 +62,7 @@ def main():
     )
 
     # Warmup: compile + settle the impulsive start.
-    state, _ = solver.run(3)
+    state, _ = solver.run(2 * chunk)
     # Timed run.
     t0 = time.perf_counter()
     state, diags = solver.run(n_steps, state=state)
