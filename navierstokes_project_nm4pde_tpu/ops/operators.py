@@ -322,7 +322,16 @@ def apply_convection(op: NSOperator, conv: ConvectionData, u: jax.Array) -> jax.
 # The time-step velocity block F = M/dt + nu*A + C(w) and the full system
 # ----------------------------------------------------------------------
 def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -> jax.Array:
+    """F u with F = M/dt + nu*A + C(w).
+
+    If `u` arrives as bfloat16 (the preconditioner's low-precision mode),
+    both gather payloads -- the DoF gather and the contribution reduction --
+    stay bf16 (half the dominant memory traffic); the einsum arithmetic still
+    accumulates in f32 against the f32 reference tables."""
+    lowp = u.dtype == jnp.bfloat16
     u_e = gather_u(op, u)
+    if lowp:
+        u_e = u_e.astype(op.MHAT.dtype)
     y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
     y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
     if conv is not None:
@@ -330,6 +339,8 @@ def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -
         dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
         r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
         y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
+    if lowp:
+        y_e = y_e.astype(jnp.bfloat16)
     return scatter_u(op, y_e)
 
 

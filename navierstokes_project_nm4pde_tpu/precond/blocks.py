@@ -199,8 +199,18 @@ def _solve_S(op, st: PrecondState, rhs_p, cfg: PrecondConfig):
     avoids CG's per-iteration dot products using the per-step power-iteration
     estimate of lam_max."""
 
-    def S(p):
-        return schur_ell_matvec(op.schur, st.schur_vals, p)
+    if cfg.low_precision:
+        # bf16 ELL values + iterate for the gather-heavy SpMV; f32 accumulate.
+        vals16 = (st.schur_vals * op.schur.col_mask).astype(jnp.bfloat16)
+
+        def S(p):
+            g = vals16 * p.astype(jnp.bfloat16)[op.schur.cols]
+            return jnp.sum(g.astype(rhs_p.dtype), axis=1)
+
+    else:
+
+        def S(p):
+            return schur_ell_matvec(op.schur, st.schur_vals, p)
 
     Minv = 1.0 / st.schur_diag
     if cfg.s_solver == "chebyshev":
