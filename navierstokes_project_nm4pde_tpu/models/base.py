@@ -85,6 +85,28 @@ class State:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class DeviceData:
+    """All device arrays a time step touches, bundled as one pytree.
+
+    Passed as an explicit jit argument (never closed over): closure
+    constants are embedded into the serialized program, which both bloats
+    compile payloads past backend limits at scale and forces a recompile
+    per solver instance."""
+
+    op: ops.NSOperator
+    bc_idx: tuple
+    bc_coords: tuple
+    bc_inverse: object
+    neumann: object
+    neumann_points: object
+    neumann_plan: object
+    forces: object
+    probe: object
+    ftab: object
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class StepDiagnostics:
     iters: jax.Array
     residual: jax.Array
@@ -188,6 +210,36 @@ class NavierStokesSolver:
         self._unode_coords_dev = jnp.asarray(self.space.unode_coords, self.dtype)
         self._pnode_coords_dev = jnp.asarray(self.mesh.coords, self.dtype)
 
+        # Quadrature tables for the forcing term (only if the problem has one).
+        self._ftab = None
+        if self.problem.forcing is not None:
+            from navierstokes_project_nm4pde_tpu.ops.functionals import (
+                build_error_tables,
+            )
+
+            self._ftab = build_error_tables(
+                self.space, self.geom, degree=4, dtype=self.dtype
+            )
+
+        self._bc_fns = [fn_g for (fn_g, _, _) in self._bc_groups]
+        self._rebuild_device_data()
+
+    def _rebuild_device_data(self):
+        """(Re)collect the DeviceData pytree from solver attributes (called
+        after setup and after sharding mutates the arrays)."""
+        self._dev = DeviceData(
+            op=self.op,
+            bc_idx=tuple(idx for (_, idx, _) in self._bc_groups),
+            bc_coords=tuple(c for (_, _, c) in self._bc_groups),
+            bc_inverse=self._bc_inverse,
+            neumann=self.neumann,
+            neumann_points=getattr(self, "_neumann_points", None),
+            neumann_plan=getattr(self, "_neumann_plan", None),
+            forces=self.forces,
+            probe=self.probe,
+            ftab=self._ftab,
+        )
+
     # ------------------------------------------------------------------
     def initial_state(self) -> State:
         """Interpolate the initial condition (ref: src/NavierStokes2D.cpp:708)."""
@@ -213,7 +265,7 @@ class NavierStokesSolver:
         )
 
     # ------------------------------------------------------------------
-    def _dirichlet_values(self, t) -> jax.Array:
+    def _dirichlet_values(self, t, dev: DeviceData) -> jax.Array:
         """Full [n_unodes, dim] array with g(x, t) on constrained nodes.
 
         Built scatter-free: per-group values are concatenated and routed
@@ -222,11 +274,11 @@ class NavierStokesSolver:
 
         vals = [
             jnp.asarray(fn_g(coords, t), self.dtype)
-            for (fn_g, idx, coords) in self._bc_groups
+            for fn_g, coords in zip(self._bc_fns, dev.bc_coords)
         ]
         if not vals:
             return jnp.zeros((self.space.n_unodes, self.space.dim), self.dtype)
-        return apply_inverse_map(self._bc_inverse, jnp.concatenate(vals, axis=0))
+        return apply_inverse_map(dev.bc_inverse, jnp.concatenate(vals, axis=0))
 
     def _pack(self, u, p):
         return jnp.concatenate([u.reshape(-1), p])
@@ -236,16 +288,20 @@ class NavierStokesSolver:
         return x[: n * d].reshape(n, d), x[n * d:]
 
     # ------------------------------------------------------------------
-    def step(self, state: State, nu=None) -> tuple[State, StepDiagnostics]:
+    def step(self, state: State, nu=None, dev: DeviceData | None = None):
         """One semi-implicit time step (pure; jit/scan/vmap-able).
 
-        `nu` may be a traced scalar to support vmapped Reynolds ensembles;
-        it defaults to the problem's static viscosity."""
+        `nu` may be a traced scalar to support vmapped Reynolds ensembles.
+        `dev` must be threaded as a jit argument by callers that jit this
+        function (see DeviceData); it defaults to the solver's own data for
+        eager use."""
         cfg = self.config
         if nu is None:
             nu = self.problem.nu
+        if dev is None:
+            dev = self._dev
         dt = cfg.time.dt
-        op = self.op
+        op = dev.op
         t_new = state.t + dt
 
         if cfg.time.scheme == "bdf2":
@@ -277,13 +333,13 @@ class NavierStokesSolver:
         # (BDF1: (M/dt) u_n, ref: src/NavierStokes2D.cpp:270,450)
         rhs_u = ops.apply_mass(op, hist)
 
-        if self.neumann is not None:
-            rhs_u = rhs_u + self._neumann_rhs(t_new)
+        if dev.neumann is not None:
+            rhs_u = rhs_u + self._neumann_rhs(t_new, dev)
         if self.problem.forcing is not None:
-            rhs_u = rhs_u + self._forcing_rhs(t_new)
+            rhs_u = rhs_u + self._forcing_rhs(t_new, dev)
 
         # Dirichlet rows: rhs = g, operator row = identity.
-        g = self._dirichlet_values(t_new)
+        g = self._dirichlet_values(t_new, dev)
         rhs_u = jnp.where(op.dirichlet_mask[:, None], g, rhs_u)
         rhs_p = jnp.zeros(self.space.n_pnodes, self.dtype)
 
@@ -322,28 +378,30 @@ class NavierStokesSolver:
             u_prev=state.u if cfg.time.scheme == "bdf2" else None,
         )
 
-        diag = self._diagnostics(u_new, p_new, t_new, info, nu)
+        diag = self._diagnostics(u_new, p_new, t_new, info, nu, dev)
         return new_state, diag
 
     # ------------------------------------------------------------------
-    def _diagnostics(self, u, p, t, info, nu=None) -> StepDiagnostics:
+    def _diagnostics(self, u, p, t, info, nu=None, dev=None) -> StepDiagnostics:
         if nu is None:
             nu = self.problem.nu
+        if dev is None:
+            dev = self._dev
         rho = self.problem.rho
         zero = jnp.asarray(0.0, self.dtype)
         drag = lift = c_d = c_l = delta_p = zero
-        if self.forces is not None:
+        if dev.forces is not None:
             if self.space.dim == 2:
-                drag, lift = fn.forces_2d(self.forces, u, p, nu)
+                drag, lift = fn.forces_2d(dev.forces, u, p, nu)
             else:
-                drag, lift = fn.forces_3d(self.forces, u, p, nu, rho)
+                drag, lift = fn.forces_3d(dev.forces, u, p, nu, rho)
             if self.problem.mean_velocity is not None:
                 U = self.problem.mean_velocity(t)
                 c_d, c_l = fn.drag_lift_coefficients(
                     drag, lift, U, self.problem.diameter, self.problem.span, rho
                 )
-        if self.probe is not None:
-            pv = self.probe.pressure(p)
+        if dev.probe is not None:
+            pv = dev.probe.pressure(p)
             delta_p = pv[0] - pv[1]
         return StepDiagnostics(
             iters=info.iters,
@@ -356,32 +414,24 @@ class NavierStokesSolver:
         )
 
     # ------------------------------------------------------------------
-    def _neumann_rhs(self, t) -> jax.Array:
+    def _neumann_rhs(self, t, dev: DeviceData) -> jax.Array:
         """int_Gamma h . v ds on the Neumann facets
         (ref: src/Convergence3D.cpp:303-332)."""
         from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
 
-        nt = self.neumann
-        h = self.problem.neumann_value(self._neumann_points, t)  # [f, q, dim]
+        nt = dev.neumann
+        h = self.problem.neumann_value(dev.neumann_points, t)  # [f, q, dim]
         y = jnp.einsum("fq,fqc,fqi->fic", nt.jxw, h, nt.phi_u)
         return apply_gather_plan(
-            self._neumann_plan, y.reshape(-1, self.space.dim)
+            dev.neumann_plan, y.reshape(-1, self.space.dim)
         )
 
-    def _forcing_rhs(self, t) -> jax.Array:
+    def _forcing_rhs(self, t, dev: DeviceData) -> jax.Array:
         """int_Omega f . v (assembled via cell quadrature on the fly)."""
-        if not hasattr(self, "_qpoints"):
-            from navierstokes_project_nm4pde_tpu.ops.functionals import (
-                build_error_tables,
-            )
-
-            self._ftab = build_error_tables(
-                self.space, self.geom, degree=4, dtype=self.dtype
-            )
-        ft = self._ftab
+        ft = dev.ftab
         f = self.problem.forcing(ft.qpoints, t)  # [E, q, dim]
         y = jnp.einsum("eq,eqc,qi->eic", ft.jxw, f, ft.phi_u)
-        return ops.scatter_u(self.op, y)
+        return ops.scatter_u(dev.op, y)
 
     # ------------------------------------------------------------------
     def run(
@@ -400,13 +450,15 @@ class NavierStokesSolver:
         chunk = max(1, self.config.numerics.steps_per_chunk)
 
         # The jitted chunk runner is cached on the solver so repeated run()
-        # calls (and CLI chunk loops) reuse the compiled executable.
+        # calls (and CLI chunk loops) reuse the compiled executable.  All
+        # device arrays enter as the `dev` ARGUMENT -- closing over them
+        # would embed hundreds of MB of constants into the program.
         if not hasattr(self, "_run_chunk"):
 
             @partial(jax.jit, static_argnames=("k",))
-            def run_chunk(state, k):
+            def run_chunk(dev, state, k):
                 def body(st, _):
-                    st, d = self.step(st)
+                    st, d = self.step(st, dev=dev)
                     return st, d
 
                 return jax.lax.scan(body, state, None, length=k)
@@ -418,7 +470,7 @@ class NavierStokesSolver:
         done = 0
         while done < n_steps:
             k = min(chunk, n_steps - done)
-            state, diags = run_chunk(state, k)
+            state, diags = run_chunk(self._dev, state, k)
             done += k
             all_diags.append(jax.device_get(diags))
             if callback is not None:

@@ -35,17 +35,20 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         bstate = jax.tree.map(lambda x: jax.device_put(x, sharding), bstate)
         nus = jax.device_put(nus, sharding)
 
-    vstep = jax.vmap(lambda st, nu: solver.step(st, nu=nu), in_axes=(0, 0))
+    vstep = jax.vmap(
+        lambda st, nu, dev: solver.step(st, nu=nu, dev=dev),
+        in_axes=(0, 0, None),
+    )
 
     @jax.jit
-    def run(bstate, nus):
+    def run(dev, bstate, nus):
         def body(st, _):
-            st, d = vstep(st, nus)
+            st, d = vstep(st, nus, dev)
             return st, d
 
         return jax.lax.scan(body, bstate, None, length=n_steps)
 
-    bstate, diags = run(bstate, nus)
+    bstate, diags = run(solver._dev, bstate, nus)
     # [T, B] -> [B, T]
     diags = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), diags)
     return bstate, diags

@@ -106,4 +106,10 @@ def shard_solver(solver, mesh: Mesh):
     ]
     solver._unode_coords_dev = jax.device_put(solver._unode_coords_dev, repl)
     solver._pnode_coords_dev = jax.device_put(solver._pnode_coords_dev, repl)
+    solver._bc_inverse = repl_tree(solver._bc_inverse)
+    if solver._ftab is not None:
+        solver._ftab = repl_tree(solver._ftab)
+    if getattr(solver, "_neumann_plan", None) is not None:
+        solver._neumann_plan = repl_tree(solver._neumann_plan)
+    solver._rebuild_device_data()
     return solver
