@@ -30,11 +30,16 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GatherPlan:
-    """Per-bucket slot tables; bucket b covers rows [starts[b], starts[b+1])."""
+    """Per-bucket slot tables; bucket b covers rows [starts[b], starts[b+1]).
+
+    If `row_unperm` is set, rows were reordered (grouped by valence so each
+    bucket's padded width is tight) and the concatenated bucket outputs are
+    put back in original order by one cheap gather."""
 
     slots: tuple  # tuple of [rows_b, K_b] int32 arrays (padded with n_slots)
     n_slots: int = dataclasses.field(metadata=dict(static=True))  # pad index
     row_starts: tuple = dataclasses.field(metadata=dict(static=True))
+    row_unperm: jax.Array | None = None  # [n_rows] int32 or None
 
 
 def build_gather_plan(
@@ -71,7 +76,46 @@ def apply_gather_plan(plan: GatherPlan, flat: jax.Array) -> jax.Array:
     pad_shape = (1,) + flat.shape[1:]
     padded = jnp.concatenate([flat, jnp.zeros(pad_shape, flat.dtype)], axis=0)
     outs = [padded[tab].sum(axis=1) for tab in plan.slots]
-    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    if plan.row_unperm is not None:
+        out = out[plan.row_unperm]
+    return out
+
+
+def build_gather_plan_grouped(
+    flat: np.ndarray, n_rows: int, thresholds=(2, 8, 32)
+) -> GatherPlan:
+    """Gather plan with rows grouped by valence class (not by index range):
+    rows are permuted so each class gets a tight padded width, and the
+    output is restored to natural order by an inverse-permutation gather.
+    Used where valence varies wildly across rows (e.g. Schur pair-product
+    reduction: diagonal slots take ~85 products, off-diagonal ~5)."""
+    from navierstokes_project_nm4pde_tpu.mesh.native import invert_map
+
+    flat = flat.reshape(-1).astype(np.int32)
+    n_slots = flat.shape[0]
+    slots_full, counts = invert_map(flat, n_rows, pad_value=n_slots)
+
+    kmax = int(counts.max()) if n_rows else 1
+    bounds = [t for t in thresholds if t < kmax] + [max(kmax, 1)]
+    cls = np.searchsorted(np.asarray(bounds), counts)  # class per row
+    order = np.argsort(cls, kind="stable")
+    unperm = np.empty(n_rows, dtype=np.int64)
+    unperm[order] = np.arange(n_rows)
+
+    tables = []
+    lo = 0
+    for b, K in enumerate(bounds):
+        rows_b = order[cls[order] == b]
+        lo += len(rows_b)
+        tab = slots_full[rows_b, :max(K, 1)]
+        tables.append(jnp.asarray(tab, dtype=jnp.int32))
+    return GatherPlan(
+        slots=tuple(tables),
+        n_slots=n_slots,
+        row_starts=(0, n_rows),
+        row_unperm=jnp.asarray(unperm[None, :].reshape(-1), jnp.int32),
+    )
 
 
 @jax.tree_util.register_dataclass

@@ -25,7 +25,7 @@ import numpy as np
 from navierstokes_project_nm4pde_tpu.ops.scatter import (
     GatherPlan,
     apply_gather_plan,
-    build_gather_plan,
+    build_gather_plan_grouped,
 )
 
 
@@ -113,7 +113,10 @@ def build_schur_ell(
     mirror_flat = mirror.copy()
     mirror_flat[pair_flat_slot[lower]] = pair_flat_slot[tpos]
 
-    plan = build_gather_plan(prod_slot[:, None], n_p * W)
+    # Valence-grouped reduction: diagonal slots take ~n_adjacent products,
+    # off-diagonal slots only a handful -- grouping keeps the padded width
+    # tight (order-of-magnitude less gather traffic per step).
+    plan = build_gather_plan_grouped(prod_slot[:, None], n_p * W)
     diag_slot = np.zeros(n_p, dtype=np.int64)
     is_diag = ui == uj
     diag_slot[ui[is_diag]] = slot[is_diag]
