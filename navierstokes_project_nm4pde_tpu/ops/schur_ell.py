@@ -7,11 +7,16 @@ the *pair-product table* are precomputed once per mesh:
     S~[i, j] = sum_k D[i, k] * D[j, k] / dF[k]
 
 Every nonzero (i, j) corresponds to a static list of shared velocity-column
-pairs; per time step the values are one gather of dF plus one gather-plan
-reduction.  The inner CG then iterates on a tiny [n_p, W] ELL SpMV (the
-pressure space is 25-30x smaller than the velocity space), instead of two
-full element-space passes per iteration -- on TPUs, where each big
-gather/reduce has a fixed cost, this cuts the dominant per-step expense.
+pairs; per time step the values are one gather of 1/dF plus one grouped
+gather reduction.  The inner solve then iterates on a tiny pressure-space
+SpMV (25-30x smaller than the velocity space) instead of two full
+element-space passes per iteration.
+
+TPU layout: rows are permuted into valence classes so both the SpMV and the
+per-step value reduction use tight padded widths (uniform-width ELL would
+pad every row to the diagonal's worst case); a cheap inverse-permutation
+gather restores natural ordering.  Only the upper triangle is assembled
+(S~ is symmetric) and mirrored through a flat gather.
 """
 
 from __future__ import annotations
@@ -32,21 +37,22 @@ from navierstokes_project_nm4pde_tpu.ops.scatter import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SchurELL:
-    """Static structure for per-step S~ assembly + SpMV."""
+    """Static structure for per-step S~ assembly + SpMV (valence-bucketed)."""
 
-    cols: jax.Array  # [n_p, W] int32 column ids (padded with row id)
-    col_mask: jax.Array  # [n_p, W] 1.0 where a real entry exists
-    # pair-product table: for each product term t:
-    prod_vals: jax.Array  # [T] D[i,k]*D[j,k] summed over components (i <= j)
+    cols: tuple  # per bucket: [rows_b, W_b] int32 column ids (pad: own row)
+    mask: tuple  # per bucket: [rows_b, W_b] 1.0 where a real entry exists
+    row_unperm: jax.Array  # [n_p] natural-order restore for SpMV outputs
+    slot_base: tuple = dataclasses.field(metadata=dict(static=True))
+    # pair-product table (upper triangle):
+    prod_vals: jax.Array  # [T] D[i,k]*D[j,k] summed over components
     prod_k: jax.Array  # [T] int32 velocity node k (for the 1/dF gather)
-    plan: GatherPlan  # reduces the T products into the n_p*W value slots
-    mirror: jax.Array  # [n_p*W] int32: lower-triangle slots point at their
-    # upper-triangle mirror (S~ is symmetric; only i <= j is assembled)
-    diag_slot: jax.Array  # [n_p] int32 position of the diagonal in each row
+    plan: GatherPlan  # reduces the T products into the flat value slots
+    mirror: jax.Array  # [n_slots] lower-triangle slots -> upper mirror
+    diag_slot: jax.Array  # [n_p] flat slot of each diagonal entry
 
     @property
     def n_rows(self) -> int:
-        return self.cols.shape[0]
+        return self.row_unperm.shape[0]
 
 
 def build_schur_ell(
@@ -55,24 +61,21 @@ def build_schur_ell(
     """Precompute the S~ pattern and pair-product table from the ELL rows of
     D (cols [n_p, Wd], vals [n_p, Wd, dim])."""
     n_p, Wd, dim = D_vals.shape
-    # count the real entries per D row
-    # (padded slots have zero vals; detect via any nonzero)
     real = np.abs(D_vals).sum(axis=2) > 0  # [n_p, Wd]
 
-    # Invert D's columns: for each velocity node k, list of (row i, slot w).
+    # Invert D's columns: for each velocity node k, the pressure rows touching it.
     ridx, widx = np.nonzero(real)
     kcol = D_cols[ridx, widx]
     order = np.argsort(kcol, kind="stable")
     kcol_s, ridx_s, widx_s = kcol[order], ridx[order], widx[order]
 
-    # Enumerate all products D[i,k]*D[j,k]: for each velocity node k, all
-    # ordered pairs of pressure rows touching k (vectorised).
+    # All products D[i,k]*D[j,k] (vectorised pair enumeration per k-run).
     vals_flat = D_vals[ridx_s, widx_s]  # [nnzD, dim]
     uniq_k, k_start = np.unique(kcol_s, return_index=True)
     k_counts = np.diff(np.concatenate([k_start, [len(kcol_s)]]))
     pair_counts = k_counts.astype(np.int64) ** 2
     T = int(pair_counts.sum())
-    pk = np.repeat(np.arange(len(uniq_k)), pair_counts)  # run id per product
+    pk = np.repeat(np.arange(len(uniq_k)), pair_counts)
     pair_off = np.concatenate([[0], np.cumsum(pair_counts)[:-1]])
     within = np.arange(T, dtype=np.int64) - pair_off[pk]
     a = within // k_counts[pk]
@@ -84,66 +87,123 @@ def build_schur_ell(
     prod_val = np.einsum("pd,pd->p", vals_flat[gi], vals_flat[gj])
     prod_k = uniq_k[pk]
 
-    # S~ pattern: unique (i, j) pairs (full pattern for the SpMV).
+    # Unique (i, j) pattern.
     key = prod_i * np.int64(n_p) + prod_j
     uniq_pairs, inv = np.unique(key, return_inverse=True)
     ui = (uniq_pairs // n_p).astype(np.int64)
     uj = (uniq_pairs % n_p).astype(np.int64)
     counts = np.bincount(ui, minlength=n_p)
-    W = int(counts.max())
+
+    # --- valence-bucketed row layout --------------------------------------
+    thresholds = (8, 16, 32, 64)
+    kmax = int(counts.max()) if n_p else 1
+    widths = [t for t in thresholds if t < kmax] + [max(kmax, 1)]
+    cls = np.searchsorted(np.asarray(widths), counts)
+    row_order = np.argsort(cls, kind="stable")  # rows grouped by class
+    unperm = np.empty(n_p, dtype=np.int64)
+    unperm[row_order] = np.arange(n_p)
+
+    # per-row new flat slot base
+    Wb = np.asarray(widths)[cls]  # padded width per row (natural order)
+    base_grouped = np.concatenate([[0], np.cumsum(Wb[row_order])[:-1]])
+    base = np.empty(n_p, dtype=np.int64)
+    base[row_order] = base_grouped
+    n_slots = int(Wb.sum())
+
+    # within-row slot index of each unique pair (pairs are sorted by (i, j))
     row_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    slot = np.arange(len(uniq_pairs)) - row_start[ui]
-    cols = np.tile(np.arange(n_p, dtype=np.int64)[:, None], (1, W))
-    mask = np.zeros((n_p, W))
-    cols[ui, slot] = uj
-    mask[ui, slot] = 1.0
-    pair_flat_slot = ui * W + slot  # [n_pairs]
+    slot_in_row = np.arange(len(uniq_pairs)) - row_start[ui]
+    pair_flat_slot = base[ui] + slot_in_row  # [n_pairs] bucketed flat slots
 
-    # Symmetry: assemble only products with i <= j; lower-triangle entries
-    # mirror their transpose through a flat gather after assembly.
+    # bucketed cols/mask arrays
+    cols_t, mask_t, slot_base = [], [], []
+    off = 0
+    for bnum, W in enumerate(widths):
+        rows_b = row_order[cls[row_order] == bnum]
+        cb = np.tile(rows_b[:, None], (1, W))  # pad: own row id
+        mb = np.zeros((len(rows_b), W))
+        cols_t.append(cb)
+        mask_t.append(mb)
+        slot_base.append(off)
+        off += len(rows_b) * W
+    # fill entries
+    for bnum, W in enumerate(widths):
+        rows_b = row_order[cls[row_order] == bnum]
+        sel = cls[ui] == bnum
+        # local row position within bucket
+        pos_in_bucket = (base[ui[sel]] - slot_base[bnum]) // W
+        cols_t[bnum][pos_in_bucket, slot_in_row[sel]] = uj[sel]
+        mask_t[bnum][pos_in_bucket, slot_in_row[sel]] = 1.0
+
+    # symmetry: only i <= j products are reduced; mirror the rest
     upper = prod_i <= prod_j
-    prod_slot = pair_flat_slot[inv][upper]  # [T_upper]
+    prod_slot = pair_flat_slot[inv][upper]
     prod_val = prod_val[upper]
-    prod_k = prod_k[upper]
+    prod_k_u = prod_k[upper]
 
-    mirror = np.arange(n_p * W, dtype=np.int64)
+    mirror = np.arange(n_slots, dtype=np.int64)
     lower = ui > uj
     tkey = uj[lower] * np.int64(n_p) + ui[lower]
     tpos = np.searchsorted(uniq_pairs, tkey)
-    mirror_flat = mirror.copy()
-    mirror_flat[pair_flat_slot[lower]] = pair_flat_slot[tpos]
+    mirror[pair_flat_slot[lower]] = pair_flat_slot[tpos]
 
-    # Valence-grouped reduction: diagonal slots take ~n_adjacent products,
-    # off-diagonal slots only a handful -- grouping keeps the padded width
-    # tight (order-of-magnitude less gather traffic per step).
-    plan = build_gather_plan_grouped(prod_slot[:, None], n_p * W)
+    plan = build_gather_plan_grouped(prod_slot[:, None], n_slots)
     diag_slot = np.zeros(n_p, dtype=np.int64)
     is_diag = ui == uj
-    diag_slot[ui[is_diag]] = slot[is_diag]
+    diag_slot[ui[is_diag]] = pair_flat_slot[is_diag]
 
     return SchurELL(
-        cols=jnp.asarray(cols, jnp.int32),
-        col_mask=jnp.asarray(mask, dtype),
+        cols=tuple(jnp.asarray(c, jnp.int32) for c in cols_t),
+        mask=tuple(jnp.asarray(m, dtype) for m in mask_t),
+        row_unperm=jnp.asarray(unperm, jnp.int32),
+        slot_base=tuple(slot_base),
         prod_vals=jnp.asarray(prod_val, dtype),
-        prod_k=jnp.asarray(prod_k, jnp.int32),
+        prod_k=jnp.asarray(prod_k_u, jnp.int32),
         plan=plan,
-        mirror=jnp.asarray(mirror_flat, jnp.int32),
+        mirror=jnp.asarray(mirror, jnp.int32),
         diag_slot=jnp.asarray(diag_slot, jnp.int32),
     )
 
 
 def assemble_schur_values(s: SchurELL, inv_dF: jax.Array, dtype=None) -> jax.Array:
-    """Per-step values [n_p, W]: reduce upper-triangle product terms weighted
+    """Per-step flat values [n_slots]: reduce upper-triangle products weighted
     by 1/dF, then mirror the lower triangle (S~ is symmetric)."""
     w = s.prod_vals * inv_dF[s.prod_k]
     vals = apply_gather_plan(s.plan, w[:, None])[:, 0]
-    vals = vals[s.mirror]
-    return vals.reshape(s.cols.shape)
+    return vals[s.mirror]
+
+
+def _bucket_views(s: SchurELL, vals: jax.Array):
+    for b, cols in enumerate(s.cols):
+        rows_b, W = cols.shape
+        off = s.slot_base[b]
+        yield b, cols, s.mask[b], vals[off:off + rows_b * W].reshape(rows_b, W)
 
 
 def schur_ell_matvec(s: SchurELL, vals: jax.Array, p: jax.Array) -> jax.Array:
-    return jnp.einsum("pw,pw->p", vals * s.col_mask, p[s.cols])
+    outs = [
+        jnp.einsum("rw,rw->r", vb * mb, p[cb])
+        for (_, cb, mb, vb) in _bucket_views(s, vals)
+    ]
+    out = jnp.concatenate(outs, axis=0)
+    return out[s.row_unperm]
+
+
+def schur_ell_matvec_bf16(s: SchurELL, vals16: tuple, p: jax.Array, out_dtype):
+    """bf16-payload SpMV: vals16 are per-bucket pre-masked bf16 arrays."""
+    p16 = p.astype(jnp.bfloat16)
+    outs = []
+    for b, cols in enumerate(s.cols):
+        g = vals16[b] * p16[cols]
+        outs.append(jnp.sum(g.astype(out_dtype), axis=1))
+    return jnp.concatenate(outs, axis=0)[s.row_unperm]
+
+
+def masked_bf16_vals(s: SchurELL, vals: jax.Array) -> tuple:
+    return tuple(
+        (vb * mb).astype(jnp.bfloat16) for (_, _, mb, vb) in _bucket_views(s, vals)
+    )
 
 
 def schur_ell_diag(s: SchurELL, vals: jax.Array) -> jax.Array:
-    return jnp.take_along_axis(vals, s.diag_slot[:, None], axis=1)[:, 0]
+    return vals[s.diag_slot]

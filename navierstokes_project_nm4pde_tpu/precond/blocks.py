@@ -201,11 +201,15 @@ def _solve_S(op, st: PrecondState, rhs_p, cfg: PrecondConfig):
 
     if cfg.low_precision:
         # bf16 ELL values + iterate for the gather-heavy SpMV; f32 accumulate.
-        vals16 = (st.schur_vals * op.schur.col_mask).astype(jnp.bfloat16)
+        from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
+            masked_bf16_vals,
+            schur_ell_matvec_bf16,
+        )
+
+        vals16 = masked_bf16_vals(op.schur, st.schur_vals)
 
         def S(p):
-            g = vals16 * p.astype(jnp.bfloat16)[op.schur.cols]
-            return jnp.sum(g.astype(rhs_p.dtype), axis=1)
+            return schur_ell_matvec_bf16(op.schur, vals16, p, rhs_p.dtype)
 
     else:
 
