@@ -25,8 +25,9 @@ def main():
     # device runtime kills programs running longer than ~2 minutes
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_iters = int(os.environ.get("NS_BENCH_F_ITERS", "4"))
-    s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "25"))
-    restart = int(os.environ.get("NS_BENCH_RESTART", "20"))
+    s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "20"))
+    restart = int(os.environ.get("NS_BENCH_RESTART", "14"))
+    lowp = os.environ.get("NS_BENCH_LOWP", "1") == "1"
 
     import jax
 
@@ -48,7 +49,9 @@ def main():
     cfg = RunConfig(
         time=TimeConfig(dt=2e-4, t_end=4.0),
         solver=SolverConfig(rtol=1e-6, restart=restart, maxiter=100),
-        precond=PrecondConfig(kind=precond, f_iters=f_iters, s_iters=s_iters),
+        precond=PrecondConfig(
+            kind=precond, f_iters=f_iters, s_iters=s_iters, low_precision=lowp
+        ),
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk
         ),
