@@ -67,6 +67,7 @@ class NumericsConfig:
     dtype: str = "float32"  # array dtype on device
     precise_dots: bool = True  # accumulate Krylov dot products in float64
     steps_per_chunk: int = 10  # time steps fused into one jitted scan
+    spatial_reorder: bool = True  # Morton cell + first-touch node renumbering
 
 
 @dataclasses.dataclass(frozen=True)

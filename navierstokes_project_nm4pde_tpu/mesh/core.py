@@ -72,6 +72,54 @@ class Mesh:
             raise ValueError("mesh contains degenerate (zero-volume) cells")
 
     # ------------------------------------------------------------------
+    def reorder_spatial(self) -> "Mesh":
+        """Renumber cells (Morton order of centroids) and vertices
+        (first-touch by the sorted cells).
+
+        Gathers dominate TPU operator application; spatial ordering gives
+        DoF gathers/reductions cache- and DMA-friendly locality, and it is
+        the prerequisite for windowed (VMEM-resident) assembly kernels.
+        Plays the role of the reference's mesh partitioning/renumbering
+        (ref: src/NavierStokes2D.cpp:16-19, :62-69) for a single device.
+        """
+        cent = self.coords[self.cells].mean(axis=1)
+        lo = cent.min(axis=0)
+        span = np.maximum(cent.max(axis=0) - lo, 1e-300)
+        q = np.clip(((cent - lo) / span * 1023).astype(np.int64), 0, 1023)
+
+        def _spread(v):  # interleave bits (Morton)
+            v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+            v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+            v = (v | (v << 2)) & 0x3333333333333333
+            v = (v | (v << 1)) & 0x5555555555555555
+            return v
+
+        key = _spread(q[:, 0]) | (_spread(q[:, 1]) << 1)
+        if self.dim == 3:
+            key |= _spread(q[:, 2]) << 2
+        cell_order = np.argsort(key, kind="stable")
+        cells = self.cells[cell_order]
+
+        # first-touch vertex renumbering (vectorised)
+        flat = cells.reshape(-1)
+        uniq, first_pos = np.unique(flat, return_index=True)
+        appearance = uniq[np.argsort(first_pos, kind="stable")]
+        new_id = np.full(self.n_vertices, -1, dtype=np.int64)
+        new_id[appearance] = np.arange(len(appearance))
+        missing = np.where(new_id < 0)[0]  # vertices in no cell (none expected)
+        new_id[missing] = len(appearance) + np.arange(len(missing))
+
+        coords = np.empty_like(self.coords)
+        coords[new_id] = self.coords
+        return Mesh(
+            coords,
+            new_id[cells],
+            new_id[self.bface_verts],
+            self.bface_tag.copy(),
+        )
+
+    # ------------------------------------------------------------------
     def cell_volumes(self) -> np.ndarray:
         v = self.coords[self.cells]
         e = v[:, 1:, :] - v[:, :1, :]

@@ -130,6 +130,8 @@ class NavierStokesSolver:
     # ------------------------------------------------------------------
     def _setup(self):
         cfg = self.config
+        if cfg.numerics.spatial_reorder:
+            self.mesh = self.mesh.reorder_spatial()
         self.space = build_taylor_hood(self.mesh)
         self.geom = cell_geometry(self.space)
         dtags = sorted(self.problem.dirichlet.keys())

@@ -95,3 +95,31 @@ def test_msh_roundtrip(tmp_path):
     m2 = read_msh(path)
     assert m2.n_cells == m.n_cells
     assert set(np.unique(m2.bface_tag)) == {0, 1, 2, 3}
+
+
+def test_reorder_spatial_preserves_geometry():
+    m = cylinder_channel_2d(lc=0.1)
+    r = m.reorder_spatial()
+    assert r.n_cells == m.n_cells and r.n_vertices == m.n_vertices
+    np.testing.assert_allclose(
+        r.cell_volumes().sum(), m.cell_volumes().sum(), rtol=1e-12
+    )
+    r.check_boundary_closed()
+    assert set(np.unique(r.bface_tag)) == set(np.unique(m.bface_tag))
+    # locality: the index span of consecutive cell blocks should shrink
+    def mean_span(mesh, B=64):
+        c = mesh.cells
+        n = (mesh.n_cells // B) * B
+        blocks = c[:n].reshape(-1, B * c.shape[1])
+        return float(np.mean(blocks.max(axis=1) - blocks.min(axis=1)))
+    assert mean_span(r) < mean_span(m)
+
+
+def test_reorder_spatial_3d_solution_invariant():
+    """Solving on the reordered mesh must give the same physics."""
+    m = cube_mesh(2)
+    r = m.reorder_spatial()
+    np.testing.assert_allclose(
+        np.sort(r.cell_volumes()), np.sort(m.cell_volumes()), rtol=1e-12
+    )
+    r.check_boundary_closed()
