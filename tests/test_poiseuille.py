@@ -60,8 +60,9 @@ def test_poiseuille_exact():
     assert err < 1e-6, err
     assert np.abs(u[:, 1]).max() < 1e-6
     # pressure is linear in x: dp/dx = -8 nu Umax / H^2
+    # (use solver.mesh: the solver spatially reorders its mesh copy)
     p = np.asarray(state.p)
-    x = mesh.coords[:, 0]
+    x = solver.mesh.coords[:, 0]
     slope = np.polyfit(x, p, 1)[0]
     expect = -8.0 * NU * UMAX / H**2
     assert abs(slope - expect) / abs(expect) < 1e-4
