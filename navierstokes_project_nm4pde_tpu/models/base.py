@@ -65,6 +65,9 @@ class ProblemSpec:
     forcing: Optional[Callable] = None  # f(x, t) -> [..., dim]
     u0: Optional[Callable] = None  # u0(x) -> [n, dim]
     p0: Optional[Callable] = None  # p0(x) -> [n]
+    # Backflow stabilisation on an open boundary (live version of the
+    # reference's disabled term; ref: src/NavierStokes2D.cpp:456-483)
+    backflow_tag: Optional[int] = None
     # Functionals
     obstacle_tag: Optional[int] = None
     probe_points: Optional[tuple] = None
@@ -100,6 +103,7 @@ class DeviceData:
     neumann: object
     neumann_points: object
     neumann_plan: object
+    backflow: object
     forces: object
     probe: object
     ftab: object
@@ -195,6 +199,26 @@ class NavierStokesSolver:
                 self.space.cells_u[bt.cell[sel]], self.space.n_unodes
             )
 
+        # Backflow stabilisation tables on the open boundary
+        self.backflow = None
+        if self.problem.backflow_tag is not None:
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                build_gather_plan,
+            )
+
+            sel = np.where(bt.tag == self.problem.backflow_tag)[0]
+            self.backflow = ops.BackflowTables(
+                cells_u=jnp.asarray(
+                    self.space.cells_u[bt.cell[sel]], dtype=jnp.int32
+                ),
+                phi_u=jnp.asarray(bt.phi_u[sel], dtype=self.dtype),
+                jxw=jnp.asarray(bt.jxw[sel], dtype=self.dtype),
+                normal=jnp.asarray(bt.normal[sel], dtype=self.dtype),
+                plan=build_gather_plan(
+                    self.space.cells_u[bt.cell[sel]], self.space.n_unodes
+                ),
+            )
+
         # Force tables on the obstacle
         self.forces = None
         if self.problem.obstacle_tag is not None:
@@ -237,6 +261,7 @@ class NavierStokesSolver:
             neumann=self.neumann,
             neumann_points=getattr(self, "_neumann_points", None),
             neumann_plan=getattr(self, "_neumann_plan", None),
+            backflow=self.backflow,
             forces=self.forces,
             probe=self.probe,
             ftab=self._ftab,
@@ -324,7 +349,7 @@ class NavierStokesSolver:
             hist = state.u / dt
             dt_eff = dt
 
-        conv = ops.convection_setup(op, w)
+        conv = ops.convection_setup(op, w, backflow=dev.backflow)
         pst = build_precond_state(
             op, nu, dt_eff, conv, cfg.precond.kind,
             s_solver=cfg.precond.s_solver, f_solver=cfg.precond.f_solver,

@@ -282,17 +282,38 @@ def apply_pressure_mass(op: NSOperator, p: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------------
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class BackflowTables:
+    """Static facet tables for backflow stabilisation on an open boundary
+    (the reference carries this term disabled behind `&& false`;
+    ref: src/NavierStokes2D.cpp:456-483 -- here it is a live option)."""
+
+    cells_u: jax.Array  # [f, n_loc_u]
+    phi_u: jax.Array  # [f, q, n_loc_u]
+    jxw: jax.Array  # [f, q]
+    normal: jax.Array  # [f, dim]
+    plan: "object"  # GatherPlan into the velocity space
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class ConvectionData:
     WG: jax.Array  # [E, q, n_loc_u]  (w . grad phi_i)(x_q)
     divw: jax.Array  # [E, q]          div w (x_q)
     diagC: jax.Array  # [n_unodes]     global diagonal of C(w)
+    bf: BackflowTables | None = None
+    bf_coef: jax.Array | None = None  # [f, q] -rho/2 min(w.n, 0) JxW
 
 
-def convection_setup(op: NSOperator, w: jax.Array) -> ConvectionData:
+def convection_setup(
+    op: NSOperator, w: jax.Array, backflow: BackflowTables | None = None
+) -> ConvectionData:
     """Tabulate the linearised convection + Temam term at quadrature points.
 
     Mirrors `assemble_time_step` rebuilding only C(u_n)
-    (ref: src/NavierStokes2D.cpp:361-527)."""
+    (ref: src/NavierStokes2D.cpp:361-527).  With `backflow` tables, adds the
+    stabilisation -rho/2 min(w.n, 0)(u, v) on the open boundary (the
+    reference's dormant variant uses a 3/2 factor with BDF2 extrapolation;
+    here the standard rho/2 form acts on the same convection velocity w)."""
     w_e = gather_u(op, w)  # [E, nu, dim]
     w_q = jnp.einsum("qi,eic->eqc", op.PHI_U, w_e)
     wtilde = jnp.einsum("ekd,eqd->eqk", op.Jinv, w_q)
@@ -305,7 +326,18 @@ def convection_setup(op: NSOperator, w: jax.Array) -> ConvectionData:
         op.PHI_U,
     ) * op.detJ[:, None]
     diagC = scatter_u_scalar(op, d_e)
-    return ConvectionData(WG=WG, divw=divw, diagC=diagC)
+
+    bf_coef = None
+    if backflow is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+        w_f = w[backflow.cells_u]  # [f, nloc, dim]
+        w_qf = jnp.einsum("fqi,fic->fqc", backflow.phi_u, w_f)
+        un = jnp.einsum("fqc,fc->fq", w_qf, backflow.normal)
+        bf_coef = -0.5 * jnp.minimum(un, 0.0) * backflow.jxw  # >= 0
+        d_f = jnp.einsum("fq,fqi,fqi->fi", bf_coef, backflow.phi_u, backflow.phi_u)
+        diagC = diagC + apply_gather_plan(backflow.plan, d_f.reshape(-1))
+    return ConvectionData(WG=WG, divw=divw, diagC=diagC, bf=backflow, bf_coef=bf_coef)
 
 
 def apply_convection(op: NSOperator, conv: ConvectionData, u: jax.Array) -> jax.Array:
@@ -341,7 +373,20 @@ def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -
         y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
     if lowp:
         y_e = y_e.astype(jnp.bfloat16)
-    return scatter_u(op, y_e)
+    y = scatter_u(op, y_e)
+    if conv is not None and conv.bf_coef is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+        bf = conv.bf
+        u_f = u[bf.cells_u]
+        if lowp:
+            u_f = u_f.astype(op.MHAT.dtype)
+        u_qf = jnp.einsum("fqi,fic->fqc", bf.phi_u, u_f)
+        y_f = jnp.einsum("fq,fqi,fqc->fic", conv.bf_coef, bf.phi_u, u_qf)
+        y = y + apply_gather_plan(
+            bf.plan, y_f.reshape(-1, y_f.shape[-1])
+        ).astype(y.dtype)
+    return y
 
 
 def diag_F(op: NSOperator, nu, dt, conv: ConvectionData | None) -> jax.Array:
