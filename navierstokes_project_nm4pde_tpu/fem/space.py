@@ -96,7 +96,27 @@ def build_taylor_hood(mesh: Mesh) -> TaylorHoodSpace:
     from navierstokes_project_nm4pde_tpu.mesh.native import build_edges
 
     edges, edge_ids = build_edges(cells, loc_edges, n_v)
-    uniq_keys = edges[:, 0].astype(np.int64) * np.int64(n_v) + edges[:, 1]
+
+    # First-touch edge renumbering: with spatially sorted cells this keeps
+    # each cell block's edge-node ids in a tight window (sorted-key edge
+    # numbering follows the *first* vertex and spreads ~7x wider), which is
+    # what windowed gathers and plan locality live on.
+    flat_e = edge_ids.reshape(-1)
+    uniq_e, first_pos = np.unique(flat_e, return_index=True)
+    appearance = uniq_e[np.argsort(first_pos, kind="stable")]
+    new_of_old = np.empty(edges.shape[0], dtype=np.int64)
+    new_of_old[appearance] = np.arange(len(appearance))
+    edge_ids = new_of_old[edge_ids]
+    old_of_new = np.empty_like(new_of_old)
+    old_of_new[new_of_old] = np.arange(len(new_of_old))
+    edges = edges[old_of_new]
+
+    uniq_keys = None  # sorted-key lookup table rebuilt below for facets
+    sort_keys = (
+        edges[:, 0].astype(np.int64) * np.int64(n_v) + edges[:, 1]
+    )
+    key_order = np.argsort(sort_keys, kind="stable")
+    sorted_keys = sort_keys[key_order]
 
     cells_u = np.concatenate([cells, n_v + edge_ids], axis=1).astype(np.int32)
 
@@ -116,10 +136,10 @@ def build_taylor_hood(mesh: Mesh) -> TaylorHoodSpace:
     else:
         face_edge_pairs = bfv[:, [[0, 1], [0, 2], [1, 2]]]  # [n_bf, 3, 2]
     fkeys = _pack_pairs(face_edge_pairs.reshape(-1, 2), n_v)
-    pos = np.searchsorted(uniq_keys, fkeys)
-    if not np.all(uniq_keys[np.minimum(pos, len(uniq_keys) - 1)] == fkeys):
+    pos = np.searchsorted(sorted_keys, fkeys)
+    if not np.all(sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] == fkeys):
         raise ValueError("boundary facet edge not found in cell edges")
-    face_edge_ids = pos.reshape(bfv.shape[0], -1)
+    face_edge_ids = key_order[pos].reshape(bfv.shape[0], -1)
     bface_unodes = np.concatenate([bfv, n_v + face_edge_ids], axis=1).astype(
         np.int32
     )

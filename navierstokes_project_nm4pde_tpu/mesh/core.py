@@ -84,7 +84,11 @@ class Mesh:
         """
         cent = self.coords[self.cells].mean(axis=1)
         lo = cent.min(axis=0)
-        span = np.maximum(cent.max(axis=0) - lo, 1e-300)
+        # Uniform physical bin size across axes: per-axis normalisation would
+        # interleave fine bits of short axes with coarse bits of long ones and
+        # destroy locality on anisotropic domains (e.g. the 2.5 x 0.41 x 0.41
+        # duct).
+        span = max(float((cent.max(axis=0) - lo).max()), 1e-300)
         q = np.clip(((cent - lo) / span * 1023).astype(np.int64), 0, 1023)
 
         def _spread(v):  # interleave bits (Morton)
