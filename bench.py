@@ -27,7 +27,7 @@ def main():
     f_iters = int(os.environ.get("NS_BENCH_F_ITERS", "4"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "20"))
     restart = int(os.environ.get("NS_BENCH_RESTART", "14"))
-    lowp = os.environ.get("NS_BENCH_LOWP", "1") == "1"
+    lowp = os.environ.get("NS_BENCH_LOWP", "0") == "1"
 
     import jax
 
