@@ -33,6 +33,39 @@ def save_checkpoint(path: str, state: State, meta: dict | None = None):
     np.savez(path, **arrays)
 
 
+def save_checkpoint_orbax(path: str, state: State):
+    """Orbax backend (async/multi-host-capable); optional dependency."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.abspath(path),
+        {
+            "u": state.u,
+            "p": state.p,
+            "t": state.t,
+            "step": state.step,
+            **({"u_prev": state.u_prev} if state.u_prev is not None else {}),
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> State:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(os.path.abspath(path))
+    return State(
+        u=tree["u"],
+        p=tree["p"],
+        t=tree["t"],
+        step=tree["step"],
+        u_prev=tree.get("u_prev"),
+    )
+
+
 def load_checkpoint(path: str, dtype=jnp.float32) -> State:
     with np.load(path) as z:
         return State(

@@ -499,8 +499,26 @@ class NavierStokesSolver:
             k = min(chunk, n_steps - done)
             state, diags = run_chunk(self._dev, state, k)
             done += k
-            all_diags.append(jax.device_get(diags))
+            d = jax.device_get(diags)
+            all_diags.append(d)
+            # Failure detection (new capability -- the reference has none,
+            # SURVEY.md section 5): stop with context instead of silently
+            # marching NaNs or burning maxiter every step.
+            if not np.all(np.isfinite(d.residual)):
+                raise FloatingPointError(
+                    f"solver diverged: non-finite residual at step {done} "
+                    f"(residuals {d.residual})"
+                )
+            if np.all(d.iters >= self.config.solver.maxiter):
+                import warnings
+
+                warnings.warn(
+                    f"outer GMRES hit maxiter={self.config.solver.maxiter} "
+                    f"for an entire chunk at step {done}; solution may be "
+                    "inaccurate (consider stronger preconditioning)",
+                    stacklevel=2,
+                )
             if callback is not None:
-                callback(self, state, all_diags[-1])
+                callback(self, state, d)
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs), *all_diags)
         return state, stacked

@@ -78,3 +78,29 @@ def test_strouhal():
     lift = np.sin(2 * np.pi * f0 * t) + 0.1 * np.cos(2 * np.pi * 0.5 * t)
     st = strouhal_number(lift, dt)
     assert abs(st - 0.3) < 0.02
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import pytest
+
+    from navierstokes_project_nm4pde_tpu.io.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+    from navierstokes_project_nm4pde_tpu.models.base import State
+
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest.skip("orbax not installed")
+
+    st = State(
+        u=jnp.full((6, 3), 2.0), p=jnp.zeros(4), t=jnp.asarray(1.5),
+        step=jnp.asarray(7, jnp.int32),
+    )
+    path = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(path, st)
+    st2 = load_checkpoint_orbax(path)
+    np.testing.assert_allclose(np.asarray(st2.u), 2.0)
+    assert int(st2.step) == 7
