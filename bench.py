@@ -28,6 +28,7 @@ def main():
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "20"))
     restart = int(os.environ.get("NS_BENCH_RESTART", "14"))
     lowp = os.environ.get("NS_BENCH_LOWP", "0") == "1"
+    s_solver = os.environ.get("NS_BENCH_S_SOLVER", "cg")
 
     import jax
 
@@ -50,7 +51,8 @@ def main():
         time=TimeConfig(dt=2e-4, t_end=4.0),
         solver=SolverConfig(rtol=1e-6, restart=restart, maxiter=100),
         precond=PrecondConfig(
-            kind=precond, f_iters=f_iters, s_iters=s_iters, low_precision=lowp
+            kind=precond, f_iters=f_iters, s_iters=s_iters,
+            s_solver=s_solver, low_precision=lowp,
         ),
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk

@@ -141,6 +141,15 @@ class NavierStokesSolver:
         dtags = sorted(self.problem.dirichlet.keys())
         mask = self.space.dirichlet_mask(dtags)
         self.op = ops.build_operator(self.space, self.geom, mask, dtype=self.dtype)
+        if cfg.precond.s_solver.startswith("spai"):
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.spai import build_spai_values
+
+            vals = build_spai_values(self.op, self.problem.nu, cfg.time.dt)
+            self.op = _dc.replace(
+                self.op, spai_vals=jnp.asarray(vals, self.dtype)
+            )
 
         # Dirichlet node lists per tag. Later tags override earlier at shared
         # (corner) nodes, matching the reference's map overwrite order where

@@ -76,6 +76,8 @@ class NSOperator:
     schur: "SchurELL"
     # Dirichlet
     dirichlet_mask: jax.Array  # [n_unodes] bool
+    # Optional frozen SPAI values on the S~ pattern (see ops/spai.py)
+    spai_vals: jax.Array | None = None
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
     # plans (fast single-device path; TPU scatter is serialised and slow);
     # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD
@@ -401,9 +403,35 @@ def apply_system(op: NSOperator, nu, dt, conv, u, p, mask_rows: bool = True):
 
     Constrained velocity rows become identity rows, mirroring
     `MatrixTools::apply_boundary_values` with eliminate_columns=false
-    (ref: src/NavierStokes2D.cpp:354)."""
-    y_u = apply_F(op, nu, dt, conv, u) + apply_gradient(op, p)
-    y_p = apply_divergence(op, u)
+    (ref: src/NavierStokes2D.cpp:354).
+
+    The F and G element contributions share one element pass and ONE
+    velocity-space reduction (each separate reduction has a fixed on-device
+    cost that rivals its bandwidth cost)."""
+    u_e = gather_u(op, u)
+    p_e = gather_p(op, p)
+    # F part
+    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
+    y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
+    if conv is not None:
+        u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
+        dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
+        r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+        y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
+    # G part (momentum pressure gradient) fused into the same reduction
+    y_e = y_e - jnp.einsum("ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e) * op.detJ[:, None, None]
+    y_u = scatter_u(op, y_e)
+    if conv is not None and conv.bf_coef is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+        bf = conv.bf
+        u_f = u[bf.cells_u]
+        u_qf = jnp.einsum("fqi,fic->fqc", bf.phi_u, u_f)
+        y_f = jnp.einsum("fq,fqi,fqc->fic", conv.bf_coef, bf.phi_u, u_qf)
+        y_u = y_u + apply_gather_plan(bf.plan, y_f.reshape(-1, y_f.shape[-1]))
+    # divergence rows
+    y_pe = jnp.einsum("ekc,kij,ejc->ei", op.Jinv, op.BHAT, u_e) * op.detJ[:, None]
+    y_p = scatter_p(op, y_pe)
     if mask_rows:
         y_u = jnp.where(op.dirichlet_mask[:, None], u, y_u)
     return y_u, y_p

@@ -95,7 +95,10 @@ def build_schur_ell(
     counts = np.bincount(ui, minlength=n_p)
 
     # --- valence-bucketed row layout --------------------------------------
-    thresholds = (8, 16, 32, 64)
+    # Two buckets: the wide tail is small, and each extra bucket adds fixed
+    # per-op cost to every SpMV (which the inner solve runs ~10-25x per
+    # preconditioner application).
+    thresholds = (32,)
     kmax = int(counts.max()) if n_p else 1
     widths = [t for t in thresholds if t < kmax] + [max(kmax, 1)]
     cls = np.searchsorted(np.asarray(widths), counts)

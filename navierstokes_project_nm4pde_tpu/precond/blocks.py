@@ -216,6 +216,16 @@ def _solve_S(op, st: PrecondState, rhs_p, cfg: PrecondConfig):
         def S(p):
             return schur_ell_matvec(op.schur, st.schur_vals, p)
 
+    if cfg.s_solver in ("spai", "spai_cg"):
+        # One (or CG-accelerated) application of the frozen sparse
+        # approximate inverse -- minimal op count (see ops/spai.py).
+        def Mspai(v):
+            return schur_ell_matvec(op.schur, op.spai_vals, v)
+
+        if cfg.s_solver == "spai":
+            return Mspai(rhs_p)
+        return cg_fixed(S, rhs_p, Mspai, iters=cfg.s_iters)
+
     Minv = 1.0 / st.schur_diag
     if cfg.s_solver == "chebyshev":
         lam_max = 1.05 * st.schur_lam_max
