@@ -29,6 +29,7 @@ def main():
     restart = int(os.environ.get("NS_BENCH_RESTART", "14"))
     lowp = os.environ.get("NS_BENCH_LOWP", "0") == "1"
     s_solver = os.environ.get("NS_BENCH_S_SOLVER", "cg")
+    f_solver = os.environ.get("NS_BENCH_F_SOLVER", "gmres")
 
     import jax
 
@@ -52,7 +53,7 @@ def main():
         solver=SolverConfig(rtol=1e-6, restart=restart, maxiter=100),
         precond=PrecondConfig(
             kind=precond, f_iters=f_iters, s_iters=s_iters,
-            s_solver=s_solver, low_precision=lowp,
+            s_solver=s_solver, f_solver=f_solver, low_precision=lowp,
         ),
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk

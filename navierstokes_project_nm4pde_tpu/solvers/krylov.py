@@ -274,12 +274,12 @@ def gmres_fixed(A: Callable, b: jax.Array, M: Callable, iters: int, precise: boo
         V, Z, H = carry
         z = M(V[j])
         w = A(z)
-        # Batched CGS2 (rows > j of V are zero; see fgmres).
-        hcol1 = _matvec_dots(V, w, precise)
-        w = w - V.T @ hcol1
-        hcol2 = _matvec_dots(V, w, precise)
-        w = w - V.T @ hcol2
-        hcol = hcol1 + hcol2
+        # Single-pass batched CGS (rows > j of V are zero; see fgmres).
+        # The inner solve plays the reference's loose-tolerance role
+        # (ref: Preconditioners.hpp:260), so one orthogonalisation pass is
+        # enough and saves two fixed-cost device ops per iteration.
+        hcol = _matvec_dots(V, w, precise)
+        w = w - V.T @ hcol
         hlast = _norm(w, precise)
         V = V.at[j + 1].set(jnp.where(hlast > 0, w / hlast, w))
         Z = Z.at[j].set(z)
