@@ -36,6 +36,7 @@ from navierstokes_project_nm4pde_tpu.ops.scatter import (
     apply_gather_plan,
     build_gather_plan,
 )
+from navierstokes_project_nm4pde_tpu.ops.coarse import CoarseSchur, build_coarse_schur
 from navierstokes_project_nm4pde_tpu.ops.schur_ell import SchurELL, build_schur_ell
 from navierstokes_project_nm4pde_tpu.ops.tables import RefTables, build_ref_tables
 
@@ -74,6 +75,8 @@ class NSOperator:
     D_vals: jax.Array  # [n_pnodes, Wd, dim] (padded with 0)
     # Explicit S~ structure (pattern + pair products; see ops/schur_ell.py)
     schur: "SchurELL"
+    # Two-level coarse aggregation over S~ (see ops/coarse.py)
+    coarse: "CoarseSchur"
     # Dirichlet
     dirichlet_mask: jax.Array  # [n_unodes] bool
     # Optional frozen SPAI values on the S~ pattern (see ops/spai.py)
@@ -140,6 +143,7 @@ def build_operator(
     # Divergence matrix in padded ELL (for Schur diagonals / SpMV).
     D_cols, D_vals = _assemble_divergence_ell(space, geom, t)
     schur = build_schur_ell(space, D_cols, D_vals, dtype=dtype)
+    coarse = build_coarse_schur(schur)
 
     plan_u = build_gather_plan(
         space.cells_u, space.n_unodes, splits=(space.mesh.n_vertices,)
@@ -172,6 +176,7 @@ def build_operator(
         D_cols=idx(D_cols),
         D_vals=dev(D_vals),
         schur=schur,
+        coarse=coarse,
         dirichlet_mask=jnp.asarray(dirichlet_mask, dtype=bool),
     )
 

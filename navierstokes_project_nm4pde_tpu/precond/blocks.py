@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from navierstokes_project_nm4pde_tpu.config import PrecondConfig
 from navierstokes_project_nm4pde_tpu.ops import operators as ops
+from navierstokes_project_nm4pde_tpu.ops.coarse import coarse_factor, twolevel_apply
 from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
     assemble_schur_values,
     schur_ell_diag,
@@ -78,6 +79,7 @@ class PrecondState:
     schur_vals: jax.Array  # [n_pnodes, W] per-step assembled S~ ELL values
     schur_diag: jax.Array  # [n_pnodes] diag(S~) for Jacobi-CG
     schur_lam_max: jax.Array  # estimated lam_max of Jacobi-scaled S~ (Chebyshev)
+    schur_cho_L: jax.Array | None  # dense coarse Cholesky factor (two-level)
     f_lam_max: jax.Array  # estimated lam_max of Jacobi-scaled F (Richardson)
     conv: ops.ConvectionData | None
 
@@ -125,6 +127,11 @@ def build_precond_state(
     else:
         lam_max = jnp.asarray(2.0, schur_diag.dtype)
 
+    if s_solver.startswith("mg2"):
+        cho_L = coarse_factor(op.coarse, schur_vals)[0]
+    else:
+        cho_L = None
+
     if f_solver == "richardson":
         # lam_max of diag(F)^-1 F: the P2 mass block alone already exceeds 2
         # (P2 mass matrices are not diagonally dominant), so a fixed damping
@@ -150,6 +157,7 @@ def build_precond_state(
         schur_vals=schur_vals,
         schur_diag=schur_diag,
         schur_lam_max=lam_max,
+        schur_cho_L=cho_L,
         f_lam_max=f_lam,
         conv=conv,
     )
@@ -215,6 +223,20 @@ def _solve_S(op, st: PrecondState, rhs_p, cfg: PrecondConfig):
 
         def S(p):
             return schur_ell_matvec(op.schur, st.schur_vals, p)
+
+    if cfg.s_solver in ("mg2", "mg2_cg"):
+        # Two-level (Jacobi + dense coarse Cholesky) application -- ~20 ops,
+        # mesh-independent quality (see ops/coarse.py).
+        inv_d = 1.0 / st.schur_diag
+
+        def M2(v):
+            return twolevel_apply(
+                op.coarse, (st.schur_cho_L, True), S, inv_d, v
+            )
+
+        if cfg.s_solver == "mg2":
+            return M2(rhs_p)
+        return cg_fixed(S, rhs_p, M2, iters=cfg.s_iters)
 
     if cfg.s_solver in ("spai", "spai_cg"):
         # One (or CG-accelerated) application of the frozen sparse
