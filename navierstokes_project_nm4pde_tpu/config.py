@@ -46,9 +46,12 @@ class PrecondConfig:
     alpha: float = 1.0  # SIMPLE damping; ref uses 0.5 (SIMPLE) / 1.0 (aSIMPLE)
     # Velocity-block (F) inner solve: fixed iterations.
     f_iters: int = 8
-    # "gmres" (robust) or "richardson" (dot-free damped Jacobi; TPU-cheap --
-    # every scalar reduction has a fixed cost on-device).
+    # "gmres" (robust), "richardson" (dot-free damped Jacobi), or
+    # "chebyshev" (dot-free; F is near-SPD at practical dt) -- fewer device
+    # ops matter because each op has a fixed on-device cost.
     f_solver: str = "gmres"
+    # Yosida's velocity-correction solve iterations (0 = same as f_iters).
+    f_corr_iters: int = 0
     omega: float = 0.9  # Richardson damping
     # Schur-block inner solve: fixed iterations; "cg" or "chebyshev"
     # (dot-free; bounds from one per-step power iteration).

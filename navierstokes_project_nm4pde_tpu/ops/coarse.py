@@ -53,17 +53,18 @@ def build_coarse_schur(schur, agg: int = 24) -> CoarseSchur:
     nc = (n_p + agg - 1) // agg
     a = srow // agg
     b = scol // agg
-    flat = np.where(smask, a * nc + b, nc * nc)  # masked slots -> pad row
-    # rows = nc^2 dense entries; the grouped plan keeps empty rows cheap
+    flat = np.where(smask, a * nc + b, nc * nc)  # masked slots -> drop row
+    # rows = nc^2 dense entries; the grouped plan keeps empty rows cheap and
+    # drops the masked slots outright
     plan = build_gather_plan_grouped(
-        flat[:, None], nc * nc + 1, thresholds=(1, 4, 16, 64)
+        flat[:, None], nc * nc, thresholds=(1, 4, 16, 64), drop_row=nc * nc
     )
     return CoarseSchur(plan=plan, nc=nc, agg=agg, n_pad=nc * agg)
 
 
 def coarse_factor(cs: CoarseSchur, vals_flat: jax.Array):
     """Per-step dense coarse matrix + Cholesky factor from S~'s flat values."""
-    sc = apply_gather_plan(cs.plan, vals_flat[:, None])[:-1, 0]
+    sc = apply_gather_plan(cs.plan, vals_flat[:, None])[:, 0]
     Sc = sc.reshape(cs.nc, cs.nc)
     # symmetrise (roundoff) + Tikhonov shift for the constant null space
     Sc = 0.5 * (Sc + Sc.T)

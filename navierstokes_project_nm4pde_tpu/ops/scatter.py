@@ -83,38 +83,54 @@ def apply_gather_plan(plan: GatherPlan, flat: jax.Array) -> jax.Array:
 
 
 def build_gather_plan_grouped(
-    flat: np.ndarray, n_rows: int, thresholds=(2, 8, 32)
+    flat: np.ndarray, n_rows: int, thresholds=(2, 8, 32), drop_row=None
 ) -> GatherPlan:
     """Gather plan with rows grouped by valence class (not by index range):
     rows are permuted so each class gets a tight padded width, and the
     output is restored to natural order by an inverse-permutation gather.
     Used where valence varies wildly across rows (e.g. Schur pair-product
-    reduction: diagonal slots take ~85 products, off-diagonal ~5)."""
-    from navierstokes_project_nm4pde_tpu.mesh.native import invert_map
+    reduction: diagonal slots take ~85 products, off-diagonal ~5).
 
-    flat = flat.reshape(-1).astype(np.int32)
+    Built from sorted runs (never materialises a [n_rows, K_max] table --
+    a single hot row, e.g. a drop/pad row, would make that explode).
+    `drop_row`: contributions mapped to this row are discarded entirely.
+    """
+    flat = flat.reshape(-1).astype(np.int64)
     n_slots = flat.shape[0]
-    slots_full, counts = invert_map(flat, n_rows, pad_value=n_slots)
+    if drop_row is not None:
+        keep = flat != drop_row
+        positions = np.nonzero(keep)[0]
+        flat_k = flat[keep]
+    else:
+        positions = np.arange(n_slots)
+        flat_k = flat
+    order_pos = np.argsort(flat_k, kind="stable")
+    sorted_rows = flat_k[order_pos]
+    src = positions[order_pos]  # original slot positions in row-sorted order
+    counts = np.bincount(flat_k, minlength=n_rows)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-    kmax = int(counts.max()) if n_rows else 1
+    kmax = int(counts.max()) if counts.size else 1
     bounds = [t for t in thresholds if t < kmax] + [max(kmax, 1)]
-    cls = np.searchsorted(np.asarray(bounds), counts)  # class per row
-    order = np.argsort(cls, kind="stable")
+    cls = np.searchsorted(np.asarray(bounds), counts)
+    row_order = np.argsort(cls, kind="stable")
     unperm = np.empty(n_rows, dtype=np.int64)
-    unperm[order] = np.arange(n_rows)
+    unperm[row_order] = np.arange(n_rows)
 
     tables = []
-    lo = 0
     for b, K in enumerate(bounds):
-        rows_b = order[cls[order] == b]
-        lo += len(rows_b)
-        tab = slots_full[rows_b, :max(K, 1)]
+        rows_b = row_order[cls[row_order] == b]
+        K = max(K, 1)
+        idx = starts[rows_b][:, None] + np.arange(K)[None, :]
+        valid = np.arange(K)[None, :] < counts[rows_b][:, None]
+        idx = np.clip(idx, 0, max(len(src) - 1, 0))
+        tab = np.where(valid, src[idx] if len(src) else 0, n_slots)
         tables.append(jnp.asarray(tab, dtype=jnp.int32))
     return GatherPlan(
         slots=tuple(tables),
         n_slots=n_slots,
         row_starts=(0, n_rows),
-        row_unperm=jnp.asarray(unperm[None, :].reshape(-1), jnp.int32),
+        row_unperm=jnp.asarray(unperm, jnp.int32),
     )
 
 
