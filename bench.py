@@ -25,10 +25,10 @@ def main():
     # device runtime kills programs running longer than ~2 minutes
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_iters = int(os.environ.get("NS_BENCH_F_ITERS", "4"))
-    s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "20"))
+    s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
     restart = int(os.environ.get("NS_BENCH_RESTART", "14"))
     lowp = os.environ.get("NS_BENCH_LOWP", "0") == "1"
-    s_solver = os.environ.get("NS_BENCH_S_SOLVER", "cg")
+    s_solver = os.environ.get("NS_BENCH_S_SOLVER", "mg2_cg")
     f_solver = os.environ.get("NS_BENCH_F_SOLVER", "gmres")
 
     import jax
