@@ -38,6 +38,7 @@ def _build_config(args, defaults):
         solver=SolverConfig(rtol=args.rtol, restart=args.restart, maxiter=args.maxiter),
         precond=PrecondConfig(
             kind=args.precond, f_iters=args.f_iters, s_iters=args.s_iters,
+            f_solver=args.f_solver, s_solver=args.s_solver,
             alpha=0.5 if args.precond == "simple" else 1.0,
         ),
         numerics=NumericsConfig(
@@ -62,6 +63,10 @@ def _common_flags(p, dt, t_end, precond):
     p.add_argument("--maxiter", type=int, default=200)
     p.add_argument("--f-iters", type=int, default=6)
     p.add_argument("--s-iters", type=int, default=30)
+    p.add_argument("--f-solver", type=str, default="gmres",
+                   choices=["gmres", "richardson", "chebyshev"])
+    p.add_argument("--s-solver", type=str, default="cg",
+                   choices=["cg", "chebyshev", "mg2", "mg2_cg", "spai", "spai_cg"])
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--nu", type=float, default=None, help="kinematic viscosity override (Re sweeps)")
     p.add_argument("--debug-nans", action="store_true", help="enable jax.debug_nans")
