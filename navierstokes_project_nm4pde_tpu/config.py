@@ -27,6 +27,11 @@ class SolverConfig:
     atol: float = 0.0
     restart: int = 50
     maxiter: int = 200  # outer iterations across restarts
+    # Warm-start the outer solve from the linear extrapolation
+    # 2 x_n - x_{n-1} instead of x_n (the reference warm-starts from x_n
+    # implicitly via solution_owned; extrapolation is strictly better for
+    # smooth trajectories and costs one extra stored state).
+    extrapolate_guess: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

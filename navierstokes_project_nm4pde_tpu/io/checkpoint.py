@@ -27,6 +27,8 @@ def save_checkpoint(path: str, state: State, meta: dict | None = None):
     }
     if state.u_prev is not None:
         arrays["u_prev"] = np.asarray(jax.device_get(state.u_prev))
+    if state.p_prev is not None:
+        arrays["p_prev"] = np.asarray(jax.device_get(state.p_prev))
     if meta:
         for k, v in meta.items():
             arrays[f"meta_{k}"] = np.asarray(v)
@@ -46,6 +48,7 @@ def save_checkpoint_orbax(path: str, state: State):
             "t": state.t,
             "step": state.step,
             **({"u_prev": state.u_prev} if state.u_prev is not None else {}),
+            **({"p_prev": state.p_prev} if state.p_prev is not None else {}),
         },
         force=True,
     )
@@ -63,6 +66,7 @@ def load_checkpoint_orbax(path: str) -> State:
         t=tree["t"],
         step=tree["step"],
         u_prev=tree.get("u_prev"),
+        p_prev=tree.get("p_prev"),
     )
 
 
@@ -75,5 +79,8 @@ def load_checkpoint(path: str, dtype=jnp.float32) -> State:
             step=jnp.asarray(z["step"], dtype=jnp.int32),
             u_prev=jnp.asarray(z["u_prev"], dtype=dtype)
             if "u_prev" in z
+            else None,
+            p_prev=jnp.asarray(z["p_prev"], dtype=dtype)
+            if "p_prev" in z
             else None,
         )

@@ -83,7 +83,8 @@ class State:
     p: jax.Array  # [n_pnodes]
     t: jax.Array  # scalar time
     step: jax.Array  # int32 step counter
-    u_prev: jax.Array | None = None  # u^{n-1} (BDF2 history)
+    u_prev: jax.Array | None = None  # u^{n-1} (BDF2 / extrapolation history)
+    p_prev: jax.Array | None = None  # p^{n-1} (guess extrapolation)
 
 
 @jax.tree_util.register_dataclass
@@ -292,12 +293,17 @@ class NavierStokesSolver:
             )
         else:
             p = jnp.zeros(self.space.n_pnodes, self.dtype)
+        keep_hist = (
+            self.config.time.scheme == "bdf2"
+            or self.config.solver.extrapolate_guess
+        )
         return State(
             u=u,
             p=p,
             t=jnp.asarray(0.0, self.dtype),
             step=jnp.asarray(0, jnp.int32),
-            u_prev=u if self.config.time.scheme == "bdf2" else None,
+            u_prev=u if keep_hist else None,
+            p_prev=p if self.config.solver.extrapolate_guess else None,
         )
 
     # ------------------------------------------------------------------
@@ -392,8 +398,15 @@ class NavierStokesSolver:
             return self._pack(z_u, z_p)
 
         b = self._pack(rhs_u, rhs_p)
-        # warm start from the previous solution with BCs imposed
-        x0 = self._pack(jnp.where(op.dirichlet_mask[:, None], g, state.u), state.p)
+        # warm start: previous solution, linearly extrapolated when history
+        # is available (strictly better initial residual on smooth flows)
+        if cfg.solver.extrapolate_guess and state.u_prev is not None:
+            not_first = (state.step > 0).astype(self.dtype)
+            u_guess = state.u + not_first * (state.u - state.u_prev)
+            p_guess = state.p + not_first * (state.p - state.p_prev)
+        else:
+            u_guess, p_guess = state.u, state.p
+        x0 = self._pack(jnp.where(op.dirichlet_mask[:, None], g, u_guess), p_guess)
         x, info = fgmres(
             A,
             b,
@@ -406,12 +419,14 @@ class NavierStokesSolver:
             precise=cfg.numerics.precise_dots,
         )
         u_new, p_new = self._unpack(x)
+        keep_hist = cfg.time.scheme == "bdf2" or cfg.solver.extrapolate_guess
         new_state = State(
             u=u_new,
             p=p_new,
             t=t_new,
             step=state.step + 1,
-            u_prev=state.u if cfg.time.scheme == "bdf2" else None,
+            u_prev=state.u if keep_hist else None,
+            p_prev=state.p if cfg.solver.extrapolate_guess else None,
         )
 
         diag = self._diagnostics(u_new, p_new, t_new, info, nu, dev)
