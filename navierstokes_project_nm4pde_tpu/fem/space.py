@@ -111,7 +111,7 @@ def build_taylor_hood(mesh: Mesh) -> TaylorHoodSpace:
     old_of_new[new_of_old] = np.arange(len(new_of_old))
     edges = edges[old_of_new]
 
-    uniq_keys = None  # sorted-key lookup table rebuilt below for facets
+    # sorted-key lookup table for boundary-facet edge resolution
     sort_keys = (
         edges[:, 0].astype(np.int64) * np.int64(n_v) + edges[:, 1]
     )
