@@ -27,6 +27,10 @@ class SolverConfig:
     atol: float = 0.0
     restart: int = 50
     maxiter: int = 200  # outer iterations across restarts
+    # What rtol is relative to: "r0" (initial residual; honest per-step
+    # accuracy under warm starts), "b" (rhs norm; inflated by the M/dt
+    # term), or "abs" (the reference's absolute convention).
+    tol_mode: str = "r0"
     # Warm-start the outer solve from the linear extrapolation
     # 2 x_n - x_{n-1} instead of x_n (the reference warm-starts from x_n
     # implicitly via solution_owned; extrapolation is strictly better for

@@ -417,6 +417,7 @@ class NavierStokesSolver:
             restart=cfg.solver.restart,
             maxiter=cfg.solver.maxiter,
             precise=cfg.numerics.precise_dots,
+            tol_mode=cfg.solver.tol_mode,
         )
         u_new, p_new = self._unpack(x)
         keep_hist = cfg.time.scheme == "bdf2" or cfg.solver.extrapolate_guess

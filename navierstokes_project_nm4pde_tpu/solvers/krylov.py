@@ -68,11 +68,19 @@ def fgmres(
     restart: int = 50,
     maxiter: int = 200,
     precise: bool = True,
+    tol_mode: str = "r0",
 ):
     """Solve A x = b with right-preconditioned flexible GMRES.
 
     Returns (x, SolveInfo).  `M` maps a residual to a preconditioned
     correction; it may be nonstationary (inner iterative solves).
+
+    tol_mode selects what `rtol` is relative to: "r0" = the initial
+    residual ||b - A x0|| (the honest per-step convention for warm-started
+    time stepping -- ||b|| is inflated by the M/dt history term and makes
+    rtol behave like a loose absolute tolerance), "b" = ||b||, "abs" =
+    absolute (the reference's SolverControl convention,
+    ref: src/NavierStokes2D.cpp:535).
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -81,8 +89,14 @@ def fgmres(
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
-    b_norm = _norm(b, precise)
-    tol = jnp.maximum(rtol * b_norm, atol).astype(dtype)
+    r0_norm = _norm(b - A(x0), precise)
+    if tol_mode == "r0":
+        ref_norm = r0_norm
+    elif tol_mode == "b":
+        ref_norm = _norm(b, precise)
+    else:
+        ref_norm = jnp.asarray(1.0, dtype)
+    tol = jnp.maximum(rtol * ref_norm, atol).astype(dtype)
 
     m = restart
 
@@ -170,9 +184,8 @@ def fgmres(
         x, res, j = cycle(x)
         return x, res, iters + j
 
-    r0 = _norm(b - A(x0), precise)
     x, res, iters = jax.lax.while_loop(
-        outer_cond, outer_body, (x0, r0, jnp.array(0, jnp.int32))
+        outer_cond, outer_body, (x0, r0_norm, jnp.array(0, jnp.int32))
     )
     return x, SolveInfo(iters=iters, residual=res)
 
