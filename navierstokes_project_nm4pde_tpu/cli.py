@@ -342,6 +342,10 @@ def main(argv=None):
     pc.set_defaults(test_case=2, dtype="float32")
 
     args = parser.parse_args(argv)
+    if getattr(args, "dtype", "float32") == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     if args.cmd == "cylinder2d":
         _run_cylinder(args, dim=2)
     elif args.cmd == "cylinder3d":

@@ -407,18 +407,24 @@ class NavierStokesSolver:
         else:
             u_guess, p_guess = state.u, state.p
         x0 = self._pack(jnp.where(op.dirichlet_mask[:, None], g, u_guess), p_guess)
-        x, info = fgmres(
+        # Solve in increment form: A dx = b - A x0, x = x0 + dx.  Exact-
+        # arithmetic-equivalent to solving for x directly, but the M/dt bulk
+        # of b cancels analytically instead of numerically -- in float32 the
+        # direct form loses ~2-3 digits to cancellation at small dt (the
+        # rhs is ~|u|/dt while the per-step increment is tiny).
+        r0 = b - A(x0)
+        dx, info = fgmres(
             A,
-            b,
+            r0,
             M=M,
-            x0=x0,
             rtol=cfg.solver.rtol,
             atol=cfg.solver.atol,
             restart=cfg.solver.restart,
             maxiter=cfg.solver.maxiter,
             precise=cfg.numerics.precise_dots,
-            tol_mode=cfg.solver.tol_mode,
+            tol_mode="b" if cfg.solver.tol_mode == "r0" else cfg.solver.tol_mode,
         )
+        x = x0 + dx
         u_new, p_new = self._unpack(x)
         keep_hist = cfg.time.scheme == "bdf2" or cfg.solver.extrapolate_guess
         new_state = State(
