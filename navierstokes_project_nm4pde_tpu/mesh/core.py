@@ -72,16 +72,52 @@ class Mesh:
             raise ValueError("mesh contains degenerate (zero-volume) cells")
 
     # ------------------------------------------------------------------
-    def reorder_spatial(self) -> "Mesh":
-        """Renumber cells (Morton order of centroids) and vertices
-        (first-touch by the sorted cells).
+    def reorder_spatial(self, method: str = "morton") -> "Mesh":
+        """Renumber cells spatially and vertices (first-touch by the
+        sorted cells).
 
         Gathers dominate TPU operator application; spatial ordering gives
         DoF gathers/reductions cache- and DMA-friendly locality, and it is
         the prerequisite for windowed (VMEM-resident) assembly kernels.
         Plays the role of the reference's mesh partitioning/renumbering
         (ref: src/NavierStokes2D.cpp:16-19, :62-69) for a single device.
+
+        method="morton": Z-curve over uniform physical bins.  Good average
+        locality but heavy-tailed *spans* (the index range of the cells
+        around one vertex): a vertex sitting on a Z-curve fold sees its
+        ~24 cells spread across a large index range.
+        method="rcm": reverse Cuthill-McKee on the vertex-shared cell
+        adjacency graph.  Minimises exactly the span/bandwidth quantity,
+        giving tail-free windows -- the prerequisite for the windowed
+        one-hot Pallas kernels (ops/onehot.py).
         """
+        if method == "rcm":
+            cell_order = self._cell_order_rcm()
+        elif method == "morton":
+            cell_order = self._cell_order_morton()
+        else:
+            raise ValueError(f"unknown reorder method: {method}")
+        cells = self.cells[cell_order]
+
+        # first-touch vertex renumbering (vectorised)
+        flat = cells.reshape(-1)
+        uniq, first_pos = np.unique(flat, return_index=True)
+        appearance = uniq[np.argsort(first_pos, kind="stable")]
+        new_id = np.full(self.n_vertices, -1, dtype=np.int64)
+        new_id[appearance] = np.arange(len(appearance))
+        missing = np.where(new_id < 0)[0]  # vertices in no cell (none expected)
+        new_id[missing] = len(appearance) + np.arange(len(missing))
+
+        coords = np.empty_like(self.coords)
+        coords[new_id] = self.coords
+        return Mesh(
+            coords,
+            new_id[cells],
+            new_id[self.bface_verts],
+            self.bface_tag.copy(),
+        )
+
+    def _cell_order_morton(self) -> np.ndarray:
         cent = self.coords[self.cells].mean(axis=1)
         lo = cent.min(axis=0)
         # Uniform physical bin size across axes: per-axis normalisation would
@@ -102,26 +138,22 @@ class Mesh:
         key = _spread(q[:, 0]) | (_spread(q[:, 1]) << 1)
         if self.dim == 3:
             key |= _spread(q[:, 2]) << 2
-        cell_order = np.argsort(key, kind="stable")
-        cells = self.cells[cell_order]
+        return np.argsort(key, kind="stable")
 
-        # first-touch vertex renumbering (vectorised)
-        flat = cells.reshape(-1)
-        uniq, first_pos = np.unique(flat, return_index=True)
-        appearance = uniq[np.argsort(first_pos, kind="stable")]
-        new_id = np.full(self.n_vertices, -1, dtype=np.int64)
-        new_id[appearance] = np.arange(len(appearance))
-        missing = np.where(new_id < 0)[0]  # vertices in no cell (none expected)
-        new_id[missing] = len(appearance) + np.arange(len(missing))
+    def _cell_order_rcm(self) -> np.ndarray:
+        """Reverse Cuthill-McKee order of the vertex-shared cell graph."""
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-        coords = np.empty_like(self.coords)
-        coords[new_id] = self.coords
-        return Mesh(
-            coords,
-            new_id[cells],
-            new_id[self.bface_verts],
-            self.bface_tag.copy(),
-        )
+        E, n_loc = self.n_cells, self.cells.shape[1]
+        rows = np.repeat(np.arange(E, dtype=np.int64), n_loc)
+        inc = coo_matrix(
+            (np.ones(E * n_loc, np.int8), (rows, self.cells.reshape(-1))),
+            shape=(E, self.n_vertices),
+        ).tocsr()
+        adj = (inc @ inc.T).tocsr()
+        perm = reverse_cuthill_mckee(adj, symmetric_mode=True)
+        return np.asarray(perm, dtype=np.int64)
 
     # ------------------------------------------------------------------
     def cell_volumes(self) -> np.ndarray:
