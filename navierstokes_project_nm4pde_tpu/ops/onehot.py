@@ -68,7 +68,7 @@ class OneHotGatherPlan:
     (vertex ids and edge ids are numbered into disjoint contiguous regions,
     fem/space.py), DMA'd to VMEM and indexed by a one-hot matmul."""
 
-    li: jax.Array  # [B*S, 1] int32 index into concat(vwin, ewin), -1 = pad
+    li: jax.Array  # [B, S//SC, SC] int32 into concat(vwin, ewin), -1 = pad
     vstart: jax.Array  # [B] int32 (8-aligned)
     estart: jax.Array  # [B] int32 (8-aligned)
     VW: int = dataclasses.field(metadata=dict(static=True))
@@ -89,7 +89,7 @@ class OneHotReducePlan:
     the RCM bandwidth); slots in the window targeting foreign rows carry
     label -1 and drop out of the one-hot."""
 
-    lab: jax.Array  # [B, W_max] int32: target row - block_row_base, else -1
+    lab: jax.Array  # [B, W_max//WC, WC] int32: row - block_row_base, else -1
     win_start: jax.Array  # [B] int32 (8-aligned)
     n_chunks: jax.Array  # [B] int32 (window chunks of WC actually needed)
     row0: int = dataclasses.field(metadata=dict(static=True))
@@ -147,7 +147,7 @@ def build_onehot_plans(
     VW = _round_up(VW, 8)
     # round the edge window to the matmul chunk so the scratch DMA stays
     # inside the padded x (chunks past the real window hit only dead lanes)
-    EW = _round_up(EW, 2048) if EW > 2048 else _round_up(EW, 8)
+    EW = _round_up(EW, 1024) if EW > 1024 else _round_up(EW, 8)
     li = np.full((B, CB, nloc), -1, np.int64)
     for b in range(B):
         sl = slice(b * CB, min((b + 1) * CB, E))
@@ -162,14 +162,20 @@ def build_onehot_plans(
     cbc = min(CB, 64)
     while CB % cbc:
         cbc -= 1
+    SC = cbc * nloc
+    if SC % 128:
+        raise ValueError(
+            f"slot chunk {SC} must be lane-aligned; pick cells_per_block "
+            f"so that (<=64-divisor of it) * nloc is a multiple of 128"
+        )
     gplan = OneHotGatherPlan(
-        li=jnp.asarray(li.reshape(B * S, 1), jnp.int32),
+        li=jnp.asarray(li.reshape(B, S // SC, SC), jnp.int32),
         vstart=jnp.asarray(vstart, jnp.int32),
         estart=jnp.asarray(estart, jnp.int32),
         VW=VW,
         EW=EW,
         S=S,
-        SC=cbc * nloc,
+        SC=SC,
         n_slots=E * nloc,
         n_rows_pad=n_rows_pad,
     )
@@ -202,6 +208,7 @@ def build_onehot_plans(
             ws[b] = s0
             nch[b] = -(-(s1 - s0) // WC)
             W_max = max(W_max, int(nch[b]) * WC)
+        W_max = max(W_max, WC)
         lab = np.full((Bb, W_max), -1, np.int64)
         for b in range(Bb):
             lo = row0 + b * NB
@@ -209,6 +216,7 @@ def build_onehot_plans(
             t = flat[w0:w1] - lo
             t[(t < 0) | (t >= min(NB, row1 - lo))] = -1
             lab[b, : w1 - w0] = t
+        lab = lab.reshape(Bb, W_max // WC, WC)
         n_slots_pad = max(
             _round_up(n_slots, 8), int((ws + nch * WC).max()) if Bb else 0
         )
@@ -245,29 +253,32 @@ def _gather_kernel(
     EW = ewin.shape[0]
     C = out_ref.shape[1]
     dv = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(vstart_ref[b], VW)], vwin, sems.at[0]
+        x_hbm.at[pl.ds(pl.multiple_of(vstart_ref[b], 8), VW)], vwin, sems.at[0]
     )
     de = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(estart_ref[b], EW)], ewin, sems.at[1]
+        x_hbm.at[pl.ds(pl.multiple_of(estart_ref[b], 8), EW)], ewin, sems.at[1]
     )
     dv.start()
     de.start()
     dv.wait()
     de.wait()
     cdt = vwin.dtype
+    # one-hot built transposed [W, SC] (labels stay in lanes; no relayout),
+    # contracted on dim 0 against the window: (W, SC)^T-free dot -> [SC, C]
+    dn = (((0,), (0,)), ((), ()))
     for s0 in range(0, S, SC):
-        lic = li_ref[s0 : s0 + SC, :]  # [SC, 1]
-        iov = jax.lax.broadcasted_iota(jnp.int32, (SC, VW), 1)
-        acc = jnp.dot(
-            (lic == iov).astype(cdt), vwin[:], preferred_element_type=jnp.float32
+        lic = li_ref[0, s0 // SC, :][None, :]  # [1, SC] lanes
+        iov = jax.lax.broadcasted_iota(jnp.int32, (VW, SC), 0)
+        acc = jax.lax.dot_general(
+            (lic == iov).astype(cdt), vwin[:], dn,
+            preferred_element_type=jnp.float32,
         )
         for k in range(0, EW, EWC):
             ioe = (
-                jax.lax.broadcasted_iota(jnp.int32, (SC, EWC), 1) + (VW + k)
+                jax.lax.broadcasted_iota(jnp.int32, (EWC, SC), 0) + (VW + k)
             )
-            acc = acc + jnp.dot(
-                (lic == ioe).astype(cdt),
-                ewin[k : k + EWC, :],
+            acc = acc + jax.lax.dot_general(
+                (lic == ioe).astype(cdt), ewin[k : k + EWC, :], dn,
                 preferred_element_type=jnp.float32,
             )
         out_ref[s0 : s0 + SC, :] = acc.astype(out_ref.dtype)
@@ -276,17 +287,21 @@ def _gather_kernel(
 def onehot_gather(plans: OneHotPlans, x: jax.Array) -> jax.Array:
     """y_e = x[cells_flat]  for payload x [n_rows, C] -> [n_slots, C]."""
     g = plans.gather
-    C = x.shape[1]
+    C0 = x.shape[1]
+    C = _round_up(C0, 128)  # Mosaic DMA slices need 128-aligned lanes
     B = g.vstart.shape[0]
     pad = g.n_rows_pad - x.shape[0]
-    xp = jnp.concatenate([x, jnp.zeros((pad, C), x.dtype)], axis=0)
+    xp = jnp.concatenate([x, jnp.zeros((pad, C0), x.dtype)], axis=0)
+    if C != C0:
+        xp = jnp.pad(xp, ((0, 0), (0, C - C0)))
     SC = g.SC
-    EWC = min(g.EW, 2048)
+    EWC = min(g.EW, 1024)  # chunk the window matmul: iota/onehot temporaries
+    # at [EWC, SC] are the dominant VMEM transients
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((g.S, 1), lambda b, *_: (b, 0)),
+            pl.BlockSpec((1, g.S // g.SC, g.SC), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((g.S, C), lambda b, *_: (b, 0)),
@@ -302,7 +317,7 @@ def onehot_gather(plans: OneHotPlans, x: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((B * g.S, C), x.dtype),
         interpret=_interpret(),
     )(g.vstart, g.estart, g.li, xp)
-    return out[: g.n_slots]
+    return out[: g.n_slots, :C0]
 
 
 # ----------------------------------------------------------------------
@@ -320,11 +335,11 @@ def _reduce_kernel(
 
     def body(k, acc):
         cp = pltpu.make_async_copy(
-            y_hbm.at[pl.ds(w0 + k * WC, WC)], ybuf, sem
+            y_hbm.at[pl.ds(pl.multiple_of(w0 + k * WC, 8), WC)], ybuf, sem
         )
         cp.start()
         cp.wait()
-        labc = lab_ref[0, pl.ds(k * WC, WC)]  # [WC] lanes
+        labc = lab_ref[0, k, :]  # [WC] lanes
         ior = jax.lax.broadcasted_iota(jnp.int32, (NB, WC), 0)
         oh = (labc[None, :] == ior).astype(cdt)
         return acc + jnp.dot(oh, ybuf[:], preferred_element_type=jnp.float32)
@@ -341,7 +356,9 @@ def _onehot_reduce_region(r: OneHotReducePlan, yp: jax.Array, C: int):
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, r.W_max), lambda b, *_: (b, 0)),
+            pl.BlockSpec(
+                (1, r.W_max // r.WC, r.WC), lambda b, *_: (b, 0, 0)
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((r.NB, C), lambda b, *_: (b, 0)),
@@ -361,11 +378,14 @@ def _onehot_reduce_region(r: OneHotReducePlan, yp: jax.Array, C: int):
 
 def onehot_reduce(plans: OneHotPlans, y: jax.Array) -> jax.Array:
     """out[n] = sum of y over slots with cells_flat = n;  y [n_slots, C]."""
-    C = y.shape[1]
+    C0 = y.shape[1]
+    C = _round_up(C0, 128)  # Mosaic DMA slices need 128-aligned lanes
     pad = max(plans.reduce_v.n_slots_pad, plans.reduce_e.n_slots_pad)
     yp = jnp.concatenate(
-        [y, jnp.zeros((pad - y.shape[0], C), y.dtype)], axis=0
+        [y, jnp.zeros((pad - y.shape[0], C0), y.dtype)], axis=0
     )
+    if C != C0:
+        yp = jnp.pad(yp, ((0, 0), (0, C - C0)))
     out_v = _onehot_reduce_region(plans.reduce_v, yp, C)
     out_e = _onehot_reduce_region(plans.reduce_e, yp, C)
-    return jnp.concatenate([out_v, out_e], axis=0)
+    return jnp.concatenate([out_v, out_e], axis=0)[:, :C0]
