@@ -45,6 +45,7 @@ def _build_config(args, defaults):
             dtype=args.dtype,
             precise_dots=not args.no_precise_dots,
             steps_per_chunk=args.steps_per_chunk,
+            ensemble_onehot=getattr(args, "onehot", False),
         ),
         test_case=args.test_case if hasattr(args, "test_case") else 2,
         output_dir=args.output_dir,
@@ -334,6 +335,9 @@ def main(argv=None):
     pe.add_argument("--re-max", type=float, default=300.0)
     pe.add_argument("--shard-batch", action="store_true",
                     help="shard the ensemble axis over available devices")
+    pe.add_argument("--onehot", action="store_true",
+                    help="RCM ordering + Pallas one-hot MXU reductions for "
+                         "the vmapped batch (ops/onehot.py)")
 
     pc = sub.add_parser("convergence", help="Ethier-Steinman convergence study")
     _common_flags(pc, dt=4e-4, t_end=4e-4, precond="asimple")

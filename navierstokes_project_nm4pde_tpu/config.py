@@ -79,7 +79,12 @@ class NumericsConfig:
     dtype: str = "float32"  # array dtype on device
     precise_dots: bool = True  # accumulate Krylov dot products in float64
     steps_per_chunk: int = 10  # time steps fused into one jitted scan
-    spatial_reorder: bool = True  # Morton cell + first-touch node renumbering
+    spatial_reorder: bool = True  # spatial cell + first-touch node renumbering
+    # Ensemble fast path: reorder with RCM (bounded windows) and reduce
+    # vmapped assembly contributions with the Pallas one-hot MXU kernel
+    # (ops/onehot.py).  Only affects vmapped runs; single-run semantics and
+    # performance are unchanged (XLA gather-sum plans).
+    ensemble_onehot: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -136,12 +136,28 @@ class NavierStokesSolver:
     def _setup(self):
         cfg = self.config
         if cfg.numerics.spatial_reorder:
-            self.mesh = self.mesh.reorder_spatial()
+            # RCM gives the bounded windows the one-hot ensemble kernels
+            # need; Morton remains the single-run default ordering.
+            method = "rcm" if cfg.numerics.ensemble_onehot else "morton"
+            self.mesh = self.mesh.reorder_spatial(method)
         self.space = build_taylor_hood(self.mesh)
         self.geom = cell_geometry(self.space)
         dtags = sorted(self.problem.dirichlet.keys())
         mask = self.space.dirichlet_mask(dtags)
         self.op = ops.build_operator(self.space, self.geom, mask, dtype=self.dtype)
+        if cfg.numerics.ensemble_onehot:
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.onehot import (
+                build_onehot_plans,
+            )
+
+            plans = build_onehot_plans(
+                np.asarray(self.space.cells_u),
+                self.mesh.n_vertices,
+                self.space.n_unodes,
+            )
+            self.op = _dc.replace(self.op, onehot=plans)
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 

@@ -302,7 +302,7 @@ def onehot_gather(plans: OneHotPlans, x: jax.Array) -> jax.Array:
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, g.S // g.SC, g.SC), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((g.S, C), lambda b, *_: (b, 0)),
         scratch_shapes=[
@@ -359,7 +359,7 @@ def _onehot_reduce_region(r: OneHotReducePlan, yp: jax.Array, C: int):
             pl.BlockSpec(
                 (1, r.W_max // r.WC, r.WC), lambda b, *_: (b, 0, 0)
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((r.NB, C), lambda b, *_: (b, 0)),
         scratch_shapes=[

@@ -81,6 +81,12 @@ class NSOperator:
     dirichlet_mask: jax.Array  # [n_unodes] bool
     # Optional frozen SPAI values on the S~ pattern (see ops/spai.py)
     spai_vals: jax.Array | None = None
+    # Optional windowed one-hot kernel plans (ops/onehot.py): when set,
+    # *vmapped* (ensemble) velocity reductions run as Pallas MXU one-hot
+    # contractions with the batch packed into lanes -- measured 2x over the
+    # XLA plan at C=192.  Requires an RCM-ordered mesh.  Single-run calls
+    # keep the XLA gather-sum plans (the 128-lane tax loses at C=dim).
+    onehot: "object | None" = None
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
     # plans (fast single-device path; TPU scatter is serialised and slow);
     # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD
@@ -227,7 +233,29 @@ def scatter_u(op: NSOperator, y_e: jax.Array) -> jax.Array:
     if op.scatter_mode == "scatter_add":
         out = jnp.zeros((op.n_unodes, y_e.shape[-1]), y_e.dtype)
         return out.at[op.cells_u].add(y_e)
-    return apply_gather_plan(op.plan_u, y_e.reshape(-1, y_e.shape[-1]))
+    flat = y_e.reshape(-1, y_e.shape[-1])
+    if op.onehot is not None:
+        return _reduce_u_slots(op, flat)
+    return apply_gather_plan(op.plan_u, flat)
+
+
+@jax.custom_batching.custom_vmap
+def _reduce_u_slots(op: "NSOperator", flat: jax.Array) -> jax.Array:
+    """Velocity-space slot reduction with an ensemble fast path: unbatched
+    calls use the XLA gather-sum plan; under vmap the batch axis is packed
+    into lanes and reduced by the Pallas one-hot kernel (ops/onehot.py)."""
+    return apply_gather_plan(op.plan_u, flat)
+
+
+@_reduce_u_slots.def_vmap
+def _reduce_u_slots_vmap(axis_size, in_batched, op, flat):
+    from navierstokes_project_nm4pde_tpu.ops.onehot import onehot_reduce
+
+    del axis_size, in_batched
+    B, S, d = flat.shape
+    ft = jnp.moveaxis(flat, 0, -1).reshape(S, d * B)
+    out = onehot_reduce(op.onehot, ft)  # [n_rows, d*B]
+    return jnp.moveaxis(out.reshape(-1, d, B), -1, 0), True
 
 
 def scatter_u_scalar(op: NSOperator, d_e: jax.Array) -> jax.Array:

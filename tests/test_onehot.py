@@ -94,3 +94,81 @@ def test_onehot_2d_mesh():
     x = rng.standard_normal((space.n_unodes, 128)).astype(np.float32)
     y = onehot_gather(plans, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), x[cells.reshape(-1)])
+
+
+def test_vmapped_scatter_u_routes_through_onehot():
+    """NSOperator.onehot: vmapped reductions must match the XLA plan."""
+    import dataclasses as dc
+
+    import jax
+
+    from navierstokes_project_nm4pde_tpu.fem.geometry import cell_geometry
+    from navierstokes_project_nm4pde_tpu.ops import operators as ops
+
+    mesh = cylinder_duct_3d(lc=0.12, nz=4).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = np.zeros(space.n_unodes, dtype=bool)
+    op = ops.build_operator(space, geom, mask, dtype=jnp.float32)
+    plans = build_onehot_plans(
+        np.asarray(space.cells_u), mesh.n_vertices, space.n_unodes,
+        cells_per_block=128, nb_vertex=64, nb_edge=128, window_chunk=512,
+    )
+    op_oh = dc.replace(op, onehot=plans)
+
+    rng = np.random.default_rng(4)
+    y_e = jnp.asarray(
+        rng.standard_normal((4, space.mesh.n_cells, 10, 3)), jnp.float32
+    )
+    ref = jax.vmap(lambda y: ops.scatter_u(op, y))(y_e)
+    out = jax.vmap(lambda y: ops.scatter_u(op_oh, y))(y_e)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-4)
+    # unbatched calls stay on the XLA plan path and agree exactly
+    np.testing.assert_allclose(
+        np.asarray(ops.scatter_u(op_oh, y_e[0])),
+        np.asarray(ops.scatter_u(op, y_e[0])),
+    )
+
+
+def test_ensemble_onehot_end_to_end():
+    """run_ensemble with numerics.ensemble_onehot=True stays finite and
+    matches the plain vmapped ensemble's solver trajectory."""
+    import dataclasses as dc
+
+    from navierstokes_project_nm4pde_tpu.config import (
+        NumericsConfig, PrecondConfig, RunConfig, SolverConfig, TimeConfig,
+    )
+    from navierstokes_project_nm4pde_tpu.models import (
+        Cylinder3DProblem, NavierStokesSolver,
+    )
+    from navierstokes_project_nm4pde_tpu.parallel.ensemble import run_ensemble
+
+    mesh = cylinder_duct_3d(lc=0.14, nz=3)
+    cfg = RunConfig(
+        time=TimeConfig(dt=2e-4, t_end=4.0),
+        solver=SolverConfig(rtol=1e-6, restart=10, maxiter=40),
+        precond=PrecondConfig(kind="yosida", f_iters=3, s_iters=2, s_solver="mg2_cg"),
+        numerics=NumericsConfig(
+            dtype="float32", steps_per_chunk=2, ensemble_onehot=True
+        ),
+    )
+    nus = [1e-3, 2e-3]
+    solver = NavierStokesSolver(mesh, Cylinder3DProblem(test_case=2), cfg)
+    assert solver.op.onehot is not None
+    state, diags = run_ensemble(solver, nus, 2)
+    assert np.isfinite(np.asarray(state.u)).all()
+
+    # apples-to-apples: same RCM node numbering, only the reduce path differs
+    cfg0 = dc.replace(
+        cfg,
+        numerics=dc.replace(
+            cfg.numerics, ensemble_onehot=False, spatial_reorder=False
+        ),
+    )
+    solver0 = NavierStokesSolver(
+        mesh.reorder_spatial("rcm"), Cylinder3DProblem(test_case=2), cfg0
+    )
+    _, diags0 = run_ensemble(solver0, nus, 2)
+    np.testing.assert_allclose(
+        np.asarray(diags.drag), np.asarray(diags0.drag), rtol=2e-3, atol=1e-4
+    )
