@@ -8,6 +8,8 @@ sweep -- optionally with the batch axis sharded across devices.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,15 +42,27 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         in_axes=(0, 0, None),
     )
 
-    @jax.jit
-    def run(dev, bstate, nus):
+    # Chunk the scan like NavierStokesSolver.run: one device program per
+    # chunk.  A whole-trajectory scan multiplied by the batch size runs past
+    # the device watchdog (~2 min) and kills the TPU worker.
+    spc = max(1, int(solver.config.numerics.steps_per_chunk))
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run_chunk(dev, bstate, nus, length):
         def body(st, _):
             st, d = vstep(st, nus, dev)
             return st, d
 
-        return jax.lax.scan(body, bstate, None, length=n_steps)
+        return jax.lax.scan(body, bstate, None, length=length)
 
-    bstate, diags = run(solver._dev, bstate, nus)
+    chunks = []
+    done = 0
+    while done < n_steps:
+        length = min(spc, n_steps - done)
+        bstate, d = run_chunk(solver._dev, bstate, nus, length)
+        chunks.append(d)
+        done += length
+    diags = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
     # [T, B] -> [B, T]
     diags = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), diags)
     return bstate, diags
