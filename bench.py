@@ -34,6 +34,10 @@ def measure():
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
     restart = int(os.environ.get("NS_BENCH_RESTART", "14"))
+    # Cap outer iterations: warm steps need ~9-15, but the impulsive first
+    # chunk would otherwise run to maxiter and past the ~2 min device
+    # watchdog at >=600k DoF (kills the TPU worker).
+    maxiter = int(os.environ.get("NS_BENCH_MAXITER", "40"))
     lowp = os.environ.get("NS_BENCH_LOWP", "0") == "1"
     s_solver = os.environ.get("NS_BENCH_S_SOLVER", "mg2_cg")
     f_solver = os.environ.get("NS_BENCH_F_SOLVER", "gmres")
@@ -63,7 +67,7 @@ def measure():
     cfg = RunConfig(
         time=TimeConfig(dt=2e-4, t_end=4.0),
         solver=SolverConfig(
-            rtol=1e-6, restart=restart, maxiter=100, tol_mode=tol_mode
+            rtol=1e-6, restart=restart, maxiter=maxiter, tol_mode=tol_mode
         ),
         precond=PrecondConfig(
             kind=precond, f_iters=f_iters, f_corr_iters=f_corr,
