@@ -429,16 +429,33 @@ class NavierStokesSolver:
         # direct form loses ~2-3 digits to cancellation at small dt (the
         # rhs is ~|u|/dt while the per-step increment is tiny).
         r0 = b - A(x0)
+        # In increment form the solver's rhs IS r0, so tol_mode semantics
+        # must be remapped: cfg "r0" = relative to ||r0|| = fgmres "b";
+        # cfg "b" = relative to the FULL rhs ||b|| (scipy/PETSc convention),
+        # which the increment solve can only express as an absolute target.
+        if cfg.solver.tol_mode == "b":
+            from navierstokes_project_nm4pde_tpu.solvers.krylov import _norm
+
+            bnorm = _norm(b, cfg.numerics.precise_dots)
+            tol_kw = dict(
+                rtol=0.0,
+                atol=jnp.maximum(cfg.solver.rtol * bnorm, cfg.solver.atol),
+                tol_mode="abs",
+            )
+        else:
+            tol_kw = dict(
+                rtol=cfg.solver.rtol,
+                atol=cfg.solver.atol,
+                tol_mode="b" if cfg.solver.tol_mode == "r0" else cfg.solver.tol_mode,
+            )
         dx, info = fgmres(
             A,
             r0,
             M=M,
-            rtol=cfg.solver.rtol,
-            atol=cfg.solver.atol,
             restart=cfg.solver.restart,
             maxiter=cfg.solver.maxiter,
             precise=cfg.numerics.precise_dots,
-            tol_mode="b" if cfg.solver.tol_mode == "r0" else cfg.solver.tol_mode,
+            **tol_kw,
         )
         x = x0 + dx
         u_new, p_new = self._unpack(x)
