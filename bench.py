@@ -86,8 +86,10 @@ def measure():
         file=sys.stderr,
     )
 
-    # Warmup: compile + settle the impulsive start.
-    state, _ = solver.run(2 * chunk)
+    # Warmup: compile + settle the impulsive start (iteration counts take
+    # ~6 steps to reach their steady 10-14 at >=600k DoF).
+    warmup = int(os.environ.get("NS_BENCH_WARMUP", "8"))
+    state, _ = solver.run(max(2 * chunk, warmup))
     # Timed run.
     t0 = time.perf_counter()
     state, diags = solver.run(n_steps, state=state)
