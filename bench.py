@@ -33,7 +33,7 @@ def measure():
     f_iters = int(os.environ.get("NS_BENCH_F_ITERS", "4"))
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
-    restart = int(os.environ.get("NS_BENCH_RESTART", "14"))
+    restart = int(os.environ.get("NS_BENCH_RESTART", "20"))
     # Cap outer iterations: warm steps need ~9-15, but the impulsive first
     # chunk would otherwise run to maxiter and past the ~2 min device
     # watchdog at >=600k DoF (kills the TPU worker).
