@@ -144,8 +144,11 @@ def _run_cylinder(args, dim: int):
         steps = np.arange(done["n"] + 1, done["n"] + k + 1)
         times = steps * cfg.time.dt
         done["n"] += k
-        # reference's Re column formula (src/NavierStokes2D.cpp:622)
-        re = (0.1 * 1.5 * np.sin(times * np.pi / 8.0) / 1e-3).astype(int)
+        # Re(t) = U_mean(t) D / nu (the reference's gmres.csv Re column,
+        # src/NavierStokes2D.cpp:622, generalised to the run's actual
+        # profile/viscosity instead of its hardcoded 2D constants)
+        U_t = np.array([float(problem.mean_velocity(t)) for t in times])
+        re = (problem.diameter * U_t / problem.nu).astype(int)
         log.log_gmres(times, re, diags.iters)
         log.log_coefficients(steps, diags.c_d, diags.c_l)
         log.log_forces(
@@ -180,7 +183,13 @@ def _run_cylinder(args, dim: int):
     print(f"Drag Coefficient Max ----->   {cd_max}")
     print(f"Lift Coefficient Min ----->   {cl_min}")
     print(f"Pressure difference (P(A) - P(B)) = {diags.delta_p[-1]}")
-    st = strouhal_number(diags.c_l, cfg.time.dt)
+    # characteristic velocity for St: the run's peak mean inlet velocity
+    t_grid = np.arange(1, n_steps + 1) * cfg.time.dt
+    U_char = float(np.max(np.abs([problem.mean_velocity(t) for t in t_grid])))
+    st = strouhal_number(
+        diags.c_l, cfg.time.dt, diameter=problem.diameter,
+        velocity=U_char or 1.0,
+    )
     print(f"Strouhal number (from c_l) = {st:.4f}")
     print(f"Total wall time: {t_total.stop():.2f} s")
 
@@ -269,9 +278,10 @@ def _run_ensemble(args):
     cfg = _build_config(args, None)
     solver = NavierStokesSolver(mesh, problem, cfg)
 
-    # Re = U_mean * D / nu with the benchmark's U_mean/D
-    U = float(problem.mean_velocity(1e9)) if args.dim == 2 else 4.0 * 9.0 / 9.0
-    U = abs(U) or 1.0
+    # Re = U_mean * D / nu; characteristic U = the profile's peak mean
+    # velocity over a ramp period (steady profiles are constant in t)
+    t_grid = np.linspace(0.0, max(8.0, args.t_end), 65)
+    U = float(np.max(np.abs([problem.mean_velocity(t) for t in t_grid]))) or 1.0
     re = np.linspace(args.re_min, args.re_max, args.n_members)
     nus = U * problem.diameter / re
     print(f"Ensemble: {args.n_members} members, Re in [{re[0]:.0f}, {re[-1]:.0f}], "

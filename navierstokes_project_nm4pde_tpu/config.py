@@ -114,14 +114,9 @@ class TimeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class PhysicsConfig:
-    nu: float = 1e-3  # kinematic viscosity (ref: include/NavierStokes2D.hpp:159)
-    rho: float = 1.0  # density (ref: include/NavierStokes2D.hpp:162)
-
-
-@dataclasses.dataclass(frozen=True)
 class RunConfig:
-    physics: PhysicsConfig = dataclasses.field(default_factory=PhysicsConfig)
+    # Physical constants (nu, rho) live in ProblemSpec -- they are problem
+    # data (vmapped over in ensembles), not run configuration.
     time: TimeConfig = dataclasses.field(default_factory=TimeConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     precond: PrecondConfig = dataclasses.field(default_factory=PrecondConfig)

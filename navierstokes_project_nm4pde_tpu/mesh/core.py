@@ -184,11 +184,22 @@ class Mesh:
 
     @staticmethod
     def _facet_keys(facets: np.ndarray) -> np.ndarray:
-        """Pack sorted facet vertex tuples into a single int64 key per facet."""
+        """Pack sorted facet vertex tuples into a single int64 key per facet.
+
+        The multiplicative base bounds the collision-free range: three
+        vertex ids must fit in int64, so ids must stay below the base.
+        Oversize meshes fail loudly here instead of silently mis-matching
+        facets downstream."""
         f = facets.astype(np.int64)
+        if f.size and int(f.max()) >= 2_000_003:
+            raise ValueError(
+                "facet keys support < 2,000,003 vertices "
+                f"(got vertex id {int(f.max())}); use the native facet "
+                "matcher for larger meshes"
+            )
         key = f[:, 0]
         for j in range(1, f.shape[1]):
-            key = key * 2_000_003 + f[:, j]  # n_vertices << 2e6 per collision-free
+            key = key * 2_000_003 + f[:, j]
         return key
 
     def boundary_face_parents(self):

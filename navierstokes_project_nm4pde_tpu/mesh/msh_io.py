@@ -21,16 +21,18 @@ _TET = 4
 def read_msh(path: str) -> Mesh:
     with open(path, "r") as f:
         lines = f.read().splitlines()
-    it = iter(enumerate(lines))
     version = None
     nodes = {}
     elements = []  # (etype, phys_tag, [node ids])
+    ent_phys = {}  # (entity_dim, entity_tag) -> physical tag  (v4.x only)
     i = 0
     while i < len(lines):
         line = lines[i].strip()
         if line == "$MeshFormat":
             version = float(lines[i + 1].split()[0])
             i += 3
+        elif line == "$Entities":
+            i = _read_entities_v4(lines, i + 1, ent_phys)
         elif line == "$Nodes":
             if version is not None and version >= 4.0:
                 i = _read_nodes_v4(lines, i + 1, nodes)
@@ -38,7 +40,7 @@ def read_msh(path: str) -> Mesh:
                 i = _read_nodes_v2(lines, i + 1, nodes)
         elif line == "$Elements":
             if version is not None and version >= 4.0:
-                i = _read_elements_v4(lines, i + 1, elements)
+                i = _read_elements_v4(lines, i + 1, elements, ent_phys)
             else:
                 i = _read_elements_v2(lines, i + 1, elements)
         else:
@@ -128,18 +130,105 @@ def _read_nodes_v4(lines, i, nodes):
     return i + 1
 
 
-def _read_elements_v4(lines, i, elements):
+def _read_entities_v4(lines, i, ent_phys):
+    """Parse $Entities: map (entityDim, entityTag) -> first physical tag.
+
+    gmsh v4.x element blocks carry only *geometric* entity tags; the
+    physical (boundary-id) tags live here.  deal.II's read_msh (what the
+    reference loads meshes with, ref: src/NavierStokes2D.cpp:10-14) keys
+    boundary ids off the physical groups, so we must too."""
+    counts = [int(x) for x in lines[i].split()]  # points curves surfaces volumes
+    i += 1
+    for dim, cnt in enumerate(counts):
+        for _ in range(cnt):
+            parts = lines[i].split()
+            tag = int(parts[0])
+            # points: tag x y z; higher dims: tag + min/max bounding box
+            off = 4 if dim == 0 else 7
+            nphys = int(parts[off])
+            if nphys >= 1:
+                ent_phys[(dim, tag)] = int(parts[off + 1])
+            i += 1
+    assert lines[i].strip() == "$EndEntities"
+    return i + 1
+
+
+def _read_elements_v4(lines, i, elements, ent_phys):
     header = lines[i].split()
     num_blocks = int(header[0])
     i += 1
     for _ in range(num_blocks):
-        _, ent_tag, etype, num = (int(x) for x in lines[i].split())
+        ent_dim, ent_tag, etype, num = (int(x) for x in lines[i].split())
+        tag = ent_phys.get((ent_dim, ent_tag), ent_tag)
         for k in range(num):
             parts = [int(x) for x in lines[i + 1 + k].split()]
-            elements.append((etype, ent_tag, parts[1:]))
+            elements.append((etype, tag, parts[1:]))
         i += 1 + num
     assert lines[i].strip() == "$EndElements"
     return i + 1
+
+
+def write_msh_v41(mesh: Mesh, path: str) -> None:
+    """Write a v4.1 ASCII `.msh` with proper $Entities physical groups.
+
+    Each boundary tag t becomes its own facet entity with *geometric* tag
+    t + 1 and *physical* tag t, so a reader that wrongly uses entity tags
+    produces visibly wrong boundary ids (the round-trip test relies on
+    this to pin the entity -> physical mapping)."""
+    dim = mesh.dim
+    fdim = dim - 1
+    tags = sorted(set(int(t) for t in mesh.bface_tag))
+    lo = mesh.coords.min(axis=0)
+    hi = mesh.coords.max(axis=0)
+    lo3 = list(lo) + [0.0] * (3 - dim)
+    hi3 = list(hi) + [0.0] * (3 - dim)
+    bbox = " ".join(f"{v:.16g}" for v in lo3 + hi3)
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n4.1 0 8\n$EndMeshFormat\n")
+        # --- entities: one facet entity per boundary tag + one cell entity
+        counts = [0, 0, 0, 0]
+        counts[fdim] = len(tags)
+        counts[dim] = 1
+        f.write("$Entities\n" + " ".join(str(c) for c in counts) + "\n")
+        for t in tags:
+            nb = "0"  # no bounding sub-entities recorded
+            f.write(f"{t + 1} {bbox} 1 {t} {nb}\n")
+        f.write(f"1 {bbox} 0 0\n")
+        f.write("$EndEntities\n")
+        # --- nodes: two blocks on the cell entity (exercises block iteration)
+        n = mesh.n_vertices
+        half = n // 2
+        blocks = [(1, half), (half + 1, n)] if half else [(1, n)]
+        f.write(f"$Nodes\n{len(blocks)} {n} 1 {n}\n")
+        for a, b in blocks:
+            f.write(f"{dim} 1 0 {b - a + 1}\n")
+            for k in range(a, b + 1):
+                f.write(f"{k}\n")
+            for k in range(a, b + 1):
+                p = mesh.coords[k - 1]
+                z = p[2] if dim == 3 else 0.0
+                f.write(f"{p[0]:.16g} {p[1]:.16g} {z:.16g}\n")
+        f.write("$EndNodes\n")
+        # --- elements: one block per boundary tag + the cell block
+        n_elem = mesh.n_cells + mesh.n_bfaces
+        nb = len(tags) + 1
+        f.write(f"$Elements\n{nb} {n_elem} 1 {n_elem}\n")
+        eid = 1
+        ftype = _LINE if dim == 2 else _TRI
+        for t in tags:
+            sel = np.where(mesh.bface_tag == t)[0]
+            f.write(f"{fdim} {t + 1} {ftype} {len(sel)}\n")
+            for fi in sel:
+                ns = " ".join(str(v + 1) for v in mesh.bface_verts[fi])
+                f.write(f"{eid} {ns}\n")
+                eid += 1
+        ctype = _TRI if dim == 2 else _TET
+        f.write(f"{dim} 1 {ctype} {mesh.n_cells}\n")
+        for cv in mesh.cells:
+            ns = " ".join(str(v + 1) for v in cv)
+            f.write(f"{eid} {ns}\n")
+            eid += 1
+        f.write("$EndElements\n")
 
 
 def write_msh(mesh: Mesh, path: str) -> None:

@@ -360,7 +360,10 @@ class NavierStokesSolver:
             dev = self._dev
         dt = cfg.time.dt
         op = dev.op
-        t_new = state.t + dt
+        # Time from the exact integer step counter, not accumulated sums:
+        # t += dt in float32 drifts by several dt over ~20k steps, perturbing
+        # time-dependent Dirichlet data (sin(pi t/8) ramps).
+        t_new = (state.step.astype(self.dtype) + 1.0) * dt
 
         if cfg.time.scheme == "bdf2":
             # BDF2 with extrapolated convection; falls back to BDF1 on the
@@ -538,6 +541,13 @@ class NavierStokesSolver:
         """
         if state is None:
             state = self.initial_state()
+        if n_steps <= 0:
+            # e.g. resuming a finished checkpoint: nothing to do.
+            empty = np.zeros(0, dtype=np.float64)
+            return state, StepDiagnostics(
+                iters=np.zeros(0, dtype=np.int32), residual=empty, drag=empty,
+                lift=empty, c_d=empty, c_l=empty, delta_p=empty,
+            )
         chunk = max(1, self.config.numerics.steps_per_chunk)
 
         # The jitted chunk runner is cached on the solver so repeated run()

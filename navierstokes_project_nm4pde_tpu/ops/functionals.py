@@ -34,7 +34,9 @@ class ForceTables:
     grad_u: jax.Array  # [nf, q, n_loc_u, dim]
     phi_p: jax.Array  # [nf, q, dim+1]
     jxw: jax.Array  # [nf, q]
-    normal: jax.Array  # [nf, dim] outward (out of the fluid, into the body)
+    normal: jax.Array  # [nf, dim] outward of the FLUID (boundary_tables
+    # convention; on the obstacle this points into the body -- forces_2d/3d
+    # negate it to get the body-outward normal of the reference's traction)
 
 
 def build_force_tables(
@@ -63,7 +65,7 @@ def forces_2d(ft: ForceTables, u: jax.Array, p: jax.Array, nu):
     p_e = p[ft.cells_p]  # [f, np]
     gu = jnp.einsum("fqid,fic->fqcd", ft.grad_u, u_e)  # grad u [c, d]
     p_q = jnp.einsum("fqi,fi->fq", ft.phi_p, p_e)
-    n = -ft.normal  # into the body, as the reference flips it (:821)
+    n = -ft.normal  # body-outward normal (reference's convention, :821)
     trac = nu * jnp.einsum("fqcd,fd->fqc", gu, n) - p_q[:, :, None] * n[:, None, :]
     force = jnp.einsum("fqc,fq->c", trac, ft.jxw)
     return force[0], force[1]
@@ -114,10 +116,18 @@ class PointProbe:
 
 
 def build_point_probe(
-    space: TaylorHoodSpace, geom: CellGeometry, points, dtype=jnp.float32
+    space: TaylorHoodSpace,
+    geom: CellGeometry,
+    points,
+    dtype=jnp.float32,
+    allow_nearest: bool = False,
 ) -> PointProbe:
     """Host-side point location + P1 interpolation weights
-    (replaces VectorTools::point_value, ref: src/NavierStokes2D.cpp:877-888)."""
+    (replaces VectorTools::point_value, ref: src/NavierStokes2D.cpp:877-888).
+
+    A point outside the mesh raises ValueError (a silently extrapolated
+    probe yields plausible-looking garbage) unless `allow_nearest=True`,
+    which snaps to the least-violating cell."""
     pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
     mesh = space.mesh
     cells, bary = [], []
@@ -128,8 +138,14 @@ def build_point_probe(
         lam = np.concatenate([lam0[:, None], xi], axis=1)
         ok = np.all(lam >= -1e-9, axis=1)
         if not np.any(ok):
-            # fall back to the nearest cell by barycentric violation
             e = int(np.argmax(lam.min(axis=1)))
+            violation = float(-lam[e].min())
+            if violation > 1e-6 and not allow_nearest:
+                raise ValueError(
+                    f"probe point {x} lies outside the mesh (barycentric "
+                    f"violation {violation:.2e}); pass allow_nearest=True "
+                    "to snap to the nearest cell"
+                )
         else:
             e = int(np.argmax(ok))
         cells.append(mesh.cells[e])
