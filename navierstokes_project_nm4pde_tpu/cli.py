@@ -34,7 +34,11 @@ def _build_config(args, defaults):
     )
 
     return RunConfig(
-        time=TimeConfig(dt=args.dt, t_end=args.t_end),
+        time=TimeConfig(
+            dt=args.dt, t_end=args.t_end,
+            scheme=getattr(args, "scheme", "bdf1"),
+            stepper=getattr(args, "stepper", "monolithic"),
+        ),
         solver=SolverConfig(rtol=args.rtol, restart=args.restart, maxiter=args.maxiter),
         precond=PrecondConfig(
             kind=args.precond, f_iters=args.f_iters, s_iters=args.s_iters,
@@ -59,6 +63,12 @@ def _common_flags(p, dt, t_end, precond):
     p.add_argument("--t-end", type=float, default=t_end)
     p.add_argument("--n-steps", type=int, default=None, help="override step count")
     p.add_argument("--precond", type=str, default=precond)
+    p.add_argument("--scheme", type=str, default="bdf1", choices=["bdf1", "bdf2"],
+                   help="time scheme (bdf2: live second-order variant)")
+    p.add_argument("--stepper", type=str, default="monolithic",
+                   choices=["monolithic", "projection"],
+                   help="monolithic saddle-point solve (reference parity) or "
+                        "incremental pressure-correction splitting (faster)")
     p.add_argument("--rtol", type=float, default=1e-6)
     p.add_argument("--restart", type=int, default=50)
     p.add_argument("--maxiter", type=int, default=200)

@@ -104,6 +104,13 @@ class TimeConfig:
     # (the reference carries only a dead BDF2 branch gated on time == -1;
     # ref: src/NavierStokes3D.cpp:390-394 -- here it is a real option).
     scheme: str = "bdf1"
+    # "monolithic": one coupled saddle-point FGMRES per step (the
+    # reference's solve, ref: src/NavierStokes2D.cpp:530-639 -- the parity
+    # mode).  "projection": incremental pressure-correction splitting --
+    # one velocity solve + one pressure-Poisson solve per step, ~5-10x
+    # fewer operator applies at an O(dt^2) incremental splitting error
+    # (subdominant to the scheme's own O(dt) at benchmark step sizes).
+    stepper: str = "monolithic"
 
     @property
     def n_steps(self) -> int:

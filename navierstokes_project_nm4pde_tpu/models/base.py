@@ -346,25 +346,10 @@ class NavierStokesSolver:
         return x[: n * d].reshape(n, d), x[n * d:]
 
     # ------------------------------------------------------------------
-    def step(self, state: State, nu=None, dev: DeviceData | None = None):
-        """One semi-implicit time step (pure; jit/scan/vmap-able).
-
-        `nu` may be a traced scalar to support vmapped Reynolds ensembles.
-        `dev` must be threaded as a jit argument by callers that jit this
-        function (see DeviceData); it defaults to the solver's own data for
-        eager use."""
+    def _bdf_terms(self, state: State, dt: float):
+        """(w, hist, dt_eff): convection linearisation point, mass-history
+        combination, and the effective dt of the velocity block."""
         cfg = self.config
-        if nu is None:
-            nu = self.problem.nu
-        if dev is None:
-            dev = self._dev
-        dt = cfg.time.dt
-        op = dev.op
-        # Time from the exact integer step counter, not accumulated sums:
-        # t += dt in float32 drifts by several dt over ~20k steps, perturbing
-        # time-dependent Dirichlet data (sin(pi t/8) ramps).
-        t_new = (state.step.astype(self.dtype) + 1.0) * dt
-
         if cfg.time.scheme == "bdf2":
             # BDF2 with extrapolated convection; falls back to BDF1 on the
             # first step (no history yet).  All branching is arithmetic so
@@ -377,12 +362,74 @@ class NavierStokesSolver:
                 state.u / dt,
                 (4.0 * state.u - state.u_prev) / (2.0 * dt),
             )
-            dt_eff = dt / beta
-        else:
-            w = state.u
-            hist = state.u / dt
-            dt_eff = dt
+            return w, hist, dt / beta
+        return state.u, state.u / dt, dt
 
+    def _warm_guess(self, state: State):
+        """(u_guess, p_guess): linearly extrapolated warm start when history
+        is available, else the previous solution."""
+        cfg = self.config
+        if cfg.solver.extrapolate_guess and state.u_prev is not None:
+            not_first = (state.step > 0).astype(self.dtype)
+            u_guess = state.u + not_first * (state.u - state.u_prev)
+            p_guess = state.p + not_first * (state.p - state.p_prev)
+            return u_guess, p_guess
+        return state.u, state.p
+
+    def _tol_kwargs(self, b):
+        """Map config tol_mode onto the increment-form solver call (the
+        solver's rhs is the warm-start residual r0, so 'r0' = solver 'b',
+        and 'b' = an absolute target scaled by the FULL rhs)."""
+        cfg = self.config
+        if cfg.solver.tol_mode == "b":
+            from navierstokes_project_nm4pde_tpu.solvers.krylov import _norm
+
+            bnorm = _norm(b, cfg.numerics.precise_dots)
+            return dict(
+                rtol=0.0,
+                atol=jnp.maximum(cfg.solver.rtol * bnorm, cfg.solver.atol),
+                tol_mode="abs",
+            )
+        return dict(
+            rtol=cfg.solver.rtol,
+            atol=cfg.solver.atol,
+            tol_mode="b" if cfg.solver.tol_mode == "r0" else cfg.solver.tol_mode,
+        )
+
+    def _external_rhs(self, t_new, dev: DeviceData):
+        """Neumann + forcing contributions to the momentum rhs (zero-cost
+        when the problem has neither)."""
+        rhs = None
+        if dev.neumann is not None:
+            rhs = self._neumann_rhs(t_new, dev)
+        if self.problem.forcing is not None:
+            f = self._forcing_rhs(t_new, dev)
+            rhs = f if rhs is None else rhs + f
+        return rhs
+
+    # ------------------------------------------------------------------
+    def step(self, state: State, nu=None, dev: DeviceData | None = None):
+        """One semi-implicit time step (pure; jit/scan/vmap-able).
+
+        `nu` may be a traced scalar to support vmapped Reynolds ensembles.
+        `dev` must be threaded as a jit argument by callers that jit this
+        function (see DeviceData); it defaults to the solver's own data for
+        eager use."""
+        cfg = self.config
+        if nu is None:
+            nu = self.problem.nu
+        if dev is None:
+            dev = self._dev
+        if cfg.time.stepper == "projection":
+            return self._step_projection(state, nu, dev)
+        dt = cfg.time.dt
+        op = dev.op
+        # Time from the exact integer step counter, not accumulated sums:
+        # t += dt in float32 drifts by several dt over ~20k steps, perturbing
+        # time-dependent Dirichlet data (sin(pi t/8) ramps).
+        t_new = (state.step.astype(self.dtype) + 1.0) * dt
+
+        w, hist, dt_eff = self._bdf_terms(state, dt)
         conv = ops.convection_setup(op, w, backflow=dev.backflow)
         pst = build_precond_state(
             op, nu, dt_eff, conv, cfg.precond.kind,
@@ -393,11 +440,9 @@ class NavierStokesSolver:
         # RHS: mass applied to the BDF history combination
         # (BDF1: (M/dt) u_n, ref: src/NavierStokes2D.cpp:270,450)
         rhs_u = ops.apply_mass(op, hist)
-
-        if dev.neumann is not None:
-            rhs_u = rhs_u + self._neumann_rhs(t_new, dev)
-        if self.problem.forcing is not None:
-            rhs_u = rhs_u + self._forcing_rhs(t_new, dev)
+        ext = self._external_rhs(t_new, dev)
+        if ext is not None:
+            rhs_u = rhs_u + ext
 
         # Dirichlet rows: rhs = g, operator row = identity.
         g = self._dirichlet_values(t_new, dev)
@@ -419,12 +464,7 @@ class NavierStokesSolver:
         b = self._pack(rhs_u, rhs_p)
         # warm start: previous solution, linearly extrapolated when history
         # is available (strictly better initial residual on smooth flows)
-        if cfg.solver.extrapolate_guess and state.u_prev is not None:
-            not_first = (state.step > 0).astype(self.dtype)
-            u_guess = state.u + not_first * (state.u - state.u_prev)
-            p_guess = state.p + not_first * (state.p - state.p_prev)
-        else:
-            u_guess, p_guess = state.u, state.p
+        u_guess, p_guess = self._warm_guess(state)
         x0 = self._pack(jnp.where(op.dirichlet_mask[:, None], g, u_guess), p_guess)
         # Solve in increment form: A dx = b - A x0, x = x0 + dx.  Exact-
         # arithmetic-equivalent to solving for x directly, but the M/dt bulk
@@ -432,25 +472,7 @@ class NavierStokesSolver:
         # direct form loses ~2-3 digits to cancellation at small dt (the
         # rhs is ~|u|/dt while the per-step increment is tiny).
         r0 = b - A(x0)
-        # In increment form the solver's rhs IS r0, so tol_mode semantics
-        # must be remapped: cfg "r0" = relative to ||r0|| = fgmres "b";
-        # cfg "b" = relative to the FULL rhs ||b|| (scipy/PETSc convention),
-        # which the increment solve can only express as an absolute target.
-        if cfg.solver.tol_mode == "b":
-            from navierstokes_project_nm4pde_tpu.solvers.krylov import _norm
-
-            bnorm = _norm(b, cfg.numerics.precise_dots)
-            tol_kw = dict(
-                rtol=0.0,
-                atol=jnp.maximum(cfg.solver.rtol * bnorm, cfg.solver.atol),
-                tol_mode="abs",
-            )
-        else:
-            tol_kw = dict(
-                rtol=cfg.solver.rtol,
-                atol=cfg.solver.atol,
-                tol_mode="b" if cfg.solver.tol_mode == "r0" else cfg.solver.tol_mode,
-            )
+        tol_kw = self._tol_kwargs(b)
         dx, info = fgmres(
             A,
             r0,
@@ -472,6 +494,125 @@ class NavierStokesSolver:
             p_prev=state.p if cfg.solver.extrapolate_guess else None,
         )
 
+        diag = self._diagnostics(u_new, p_new, t_new, info, nu, dev)
+        return new_state, diag
+
+    # ------------------------------------------------------------------
+    def _step_projection(self, state: State, nu, dev: DeviceData):
+        """One incremental pressure-correction (IPCS) step.
+
+        A TPU-motivated alternative to the monolithic saddle-point solve
+        (which stays the reference-parity mode): every outer FGMRES
+        iteration there costs an inner F solve + Schur solve + coupled
+        apply, ~10-15x per step; here a step is exactly
+
+          1. tentative velocity:  F u* = M h + f - G p_n,  u*|_D = g(t+dt)
+          2. pressure Poisson:    S~ phi = D u*,
+             with S~ = D diag(M/dt_eff)^-1 D^T restricted to free velocity
+             columns -- the *same* operator the Yosida preconditioner
+             assembles (ops/schur_ell.py), solved by two-level-preconditioned
+             CG in the 25-30x smaller pressure space
+          3. update:  p_{n+1} = p_n + phi,
+                      u_{n+1} = u* + diag(M/dt_eff)^-1 G phi   (free nodes)
+
+        Step 3 makes D u_{n+1} = CG residual by construction, so discrete
+        incompressibility holds to solver tolerance.  The splitting error of
+        the incremental form is O(dt^2) in velocity -- subdominant to the
+        semi-implicit scheme's own O(dt) linearisation error (the same
+        linearisation as ref: src/NavierStokes2D.cpp:253).
+        """
+        from navierstokes_project_nm4pde_tpu.ops.coarse import twolevel_apply
+        from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
+            schur_ell_matvec,
+        )
+        from navierstokes_project_nm4pde_tpu.solvers.krylov import cg
+
+        cfg = self.config
+        op = dev.op
+        dt = cfg.time.dt
+        t_new = (state.step.astype(self.dtype) + 1.0) * dt
+        w, hist, dt_eff = self._bdf_terms(state, dt)
+        conv = ops.convection_setup(op, w, backflow=dev.backflow)
+        pst = build_precond_state(
+            op, nu, dt_eff, conv, "yosida", s_solver="mg2_cg", f_solver="gmres"
+        )
+        mask = op.dirichlet_mask
+        n, d = self.space.n_unodes, self.space.dim
+
+        # ---- 1. tentative velocity ------------------------------------
+        rhs_u = ops.apply_mass(op, hist)
+        ext = self._external_rhs(t_new, dev)
+        if ext is not None:
+            rhs_u = rhs_u + ext
+        rhs_u = rhs_u - ops.apply_gradient(op, state.p)
+        g = self._dirichlet_values(t_new, dev)
+        rhs_u = jnp.where(mask[:, None], g, rhs_u)
+
+        def Fop(v):
+            u = v.reshape(n, d)
+            y = ops.apply_F(op, nu, dt_eff, conv, u)
+            return jnp.where(mask[:, None], u, y).reshape(-1)
+
+        minv = jnp.broadcast_to(pst.inv_diag_Fhat[:, None], (n, d)).reshape(-1)
+        u_guess, p_guess = self._warm_guess(state)
+        u0 = jnp.where(mask[:, None], g, u_guess)
+        b_flat = rhs_u.reshape(-1)
+        r0 = b_flat - Fop(u0.reshape(-1))
+        du, info_f = fgmres(
+            Fop,
+            r0,
+            M=lambda v: minv * v,
+            restart=cfg.solver.restart,
+            maxiter=cfg.solver.maxiter,
+            precise=cfg.numerics.precise_dots,
+            **self._tol_kwargs(b_flat),
+        )
+        u_star = u0 + du.reshape(n, d)
+
+        # ---- 2. pressure Poisson in the assembled Schur space ----------
+        # M du/dt_eff + G phi = 0 and D(u* + du) = 0 with G = -D^T give
+        # S~ phi = -D u* with S~ = D diag(M/dt_eff)^-1 D^T.
+        rhs_p = -ops.apply_divergence(op, u_star)
+
+        def S(pv):
+            return schur_ell_matvec(op.schur, pst.schur_vals, pv)
+
+        inv_d = 1.0 / pst.schur_diag
+
+        def M2(v):
+            return twolevel_apply(op.coarse, (pst.schur_cho_L, True), S, inv_d, v)
+
+        # warm start: the previous pressure increment (phi_n ~ p_n - p_{n-1})
+        phi0 = p_guess - state.p
+        phi, info_s = cg(
+            S,
+            rhs_p,
+            M=M2,
+            x0=phi0,
+            rtol=cfg.solver.rtol,
+            atol=cfg.solver.atol,
+            maxiter=cfg.solver.maxiter,
+            precise=cfg.numerics.precise_dots,
+        )
+
+        # ---- 3. update --------------------------------------------------
+        # du = -dt_eff diag(M)^-1 G phi = -schur_inv * (G phi) on free nodes
+        p_new = state.p + phi
+        u_new = u_star - pst.schur_inv[:, None] * ops.apply_gradient(op, phi)
+
+        keep_hist = cfg.time.scheme == "bdf2" or cfg.solver.extrapolate_guess
+        new_state = State(
+            u=u_new,
+            p=p_new,
+            t=t_new,
+            step=state.step + 1,
+            u_prev=state.u if keep_hist else None,
+            p_prev=state.p if cfg.solver.extrapolate_guess else None,
+        )
+        info = type(info_f)(
+            iters=info_f.iters + info_s.iters,
+            residual=jnp.maximum(info_f.residual, info_s.residual),
+        )
         diag = self._diagnostics(u_new, p_new, t_new, info, nu, dev)
         return new_state, diag
 

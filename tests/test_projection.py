@@ -1,0 +1,124 @@
+"""Incremental pressure-correction (projection) stepper validation.
+
+The projection mode (TimeConfig.stepper="projection") replaces the coupled
+saddle-point FGMRES with one velocity solve + one pressure-Poisson solve per
+step (models/base.py _step_projection).  It must preserve the physics the
+monolithic (reference-parity, ref: src/NavierStokes2D.cpp:530-639) mode
+validates: Ethier-Steinman spatial orders, DFG functionals to within the
+O(dt) startup splitting error, and discrete incompressibility to solver
+tolerance.
+"""
+
+import numpy as np
+import pytest
+
+from navierstokes_project_nm4pde_tpu.config import (
+    NumericsConfig,
+    PrecondConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from navierstokes_project_nm4pde_tpu.mesh import cube_mesh, cylinder_channel_2d
+from navierstokes_project_nm4pde_tpu.models import (
+    Cylinder2DProblem,
+    EthierSteinmanProblem,
+    NavierStokesSolver,
+)
+from navierstokes_project_nm4pde_tpu.models.ethier_steinman import (
+    exact_velocity,
+    exact_velocity_gradient,
+)
+from navierstokes_project_nm4pde_tpu.ops.functionals import (
+    build_error_tables,
+    divergence_l2,
+    velocity_error_norms,
+)
+
+
+def make_config(stepper, dt, t_end, rtol=1e-9, chunk=5):
+    return RunConfig(
+        time=TimeConfig(dt=dt, t_end=t_end, stepper=stepper),
+        solver=SolverConfig(rtol=rtol, restart=60, maxiter=300),
+        precond=PrecondConfig(kind="yosida", f_iters=6, s_iters=40, s_solver="mg2_cg"),
+        numerics=NumericsConfig(dtype="float64", precise_dots=False, steps_per_chunk=chunk),
+    )
+
+
+def test_ethier_steinman_orders_preserved():
+    """One projection step on the refinement ladder: same ~3rd-order L2 as
+    the monolithic gate (tests/test_ethier_steinman.py)."""
+    DT = 4e-4
+    errs = []
+    for n in (2, 4):
+        cfg = make_config("projection", DT, DT, chunk=1)
+        solver = NavierStokesSolver(cube_mesh(n), EthierSteinmanProblem(), cfg)
+        state, diags = solver.run(1)
+        et = build_error_tables(solver.space, solver.geom, degree=5, dtype=np.float64)
+        l2, h1 = velocity_error_norms(
+            et, state.u, exact_velocity, exact_velocity_gradient, float(state.t)
+        )
+        errs.append((float(l2), float(h1)))
+    rate_l2 = np.log2(errs[0][0] / errs[1][0])
+    rate_h1 = np.log2(errs[0][1] / errs[1][1])
+    assert rate_l2 > 2.4, errs
+    assert rate_h1 > 1.6, errs
+
+
+def test_matches_monolithic_on_cylinder():
+    """Projection vs monolithic on the DFG 2D startup: functionals agree to
+    the O(dt) splitting level and the projected velocity is discretely
+    divergence-free to solver tolerance."""
+    mesh = cylinder_channel_2d(lc=0.08)
+    n_steps = 5
+    out = {}
+    for stepper in ("monolithic", "projection"):
+        cfg = make_config(stepper, dt=0.01, t_end=0.05, rtol=1e-10)
+        solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, diags = solver.run(n_steps)
+        out[stepper] = (solver, state, diags)
+    sm, st_m, d_m = out["monolithic"]
+    sp, st_p, d_p = out["projection"]
+    # functional agreement (startup transient: O(dt) splitting error)
+    assert np.allclose(d_p.c_d[-1], d_m.c_d[-1], rtol=0.05)
+    assert np.allclose(d_p.delta_p[-1], d_m.delta_p[-1], rtol=0.05)
+    u_m, u_p = np.asarray(st_m.u), np.asarray(st_p.u)
+    assert np.linalg.norm(u_p - u_m) / np.linalg.norm(u_m) < 0.15
+    # the projected velocity is at least as divergence-free as monolithic
+    et = build_error_tables(sp.space, sp.geom, degree=4, dtype=np.float64)
+    div_p = float(divergence_l2(et, st_p.u))
+    div_m = float(divergence_l2(et, st_m.u))
+    assert div_p < 3.0 * div_m + 1e-8, (div_p, div_m)
+
+
+def test_splitting_error_is_first_order_in_dt():
+    """The projection-vs-monolithic gap must shrink ~linearly with dt."""
+    mesh = cylinder_channel_2d(lc=0.1)
+    T = 0.08
+    gaps = []
+    for dt in (0.02, 0.005):
+        n = round(T / dt)
+        res = {}
+        for stepper in ("monolithic", "projection"):
+            cfg = make_config(stepper, dt=dt, t_end=T, rtol=1e-11, chunk=n)
+            s = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=3), cfg)
+            state, _ = s.run(n)
+            res[stepper] = np.asarray(state.u)
+        gaps.append(
+            np.linalg.norm(res["projection"] - res["monolithic"])
+            / np.linalg.norm(res["monolithic"])
+        )
+    assert gaps[1] < 0.45 * gaps[0], gaps  # >= first order in dt
+
+
+def test_projection_vmaps_over_viscosity():
+    """The projection step must stay ensemble-compatible (nu traced)."""
+    from navierstokes_project_nm4pde_tpu.parallel import run_ensemble
+
+    mesh = cylinder_channel_2d(lc=0.12)
+    cfg = make_config("projection", dt=0.01, t_end=0.03, rtol=1e-8, chunk=3)
+    solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+    nus = np.array([1e-3, 2e-3])
+    bstate, bdiags = run_ensemble(solver, nus, n_steps=3)
+    assert np.all(np.isfinite(np.asarray(bstate.u)))
+    assert not np.allclose(np.asarray(bstate.u)[0], np.asarray(bstate.u)[1])
