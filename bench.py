@@ -46,6 +46,9 @@ def measure():
     # stricter than the reference's absolute 1e-4).  tol_mode="r0" demands a
     # 1e-6 *reduction of the warm-start residual* -- ~3x more iterations.
     tol_mode = os.environ.get("NS_BENCH_TOL_MODE", "b")
+    # "monolithic" (reference-parity saddle-point FGMRES) or "projection"
+    # (incremental pressure-correction: one F solve + one Schur CG per step).
+    stepper = os.environ.get("NS_BENCH_STEPPER", "monolithic")
 
     import jax
 
@@ -65,7 +68,7 @@ def measure():
     t0 = time.time()
     mesh = cylinder_duct_3d(lc=lc, nz=nz)
     cfg = RunConfig(
-        time=TimeConfig(dt=2e-4, t_end=4.0),
+        time=TimeConfig(dt=2e-4, t_end=4.0, stepper=stepper),
         solver=SolverConfig(
             rtol=1e-6, restart=restart, maxiter=maxiter, tol_mode=tol_mode
         ),

@@ -108,18 +108,26 @@ class DeviceData:
     forces: object
     probe: object
     ftab: object
+    # Setup-time power-iteration bound on lam_max(diag(F)^-1 F) for the
+    # convection-free F (None unless a smoother needs it) -- replaces the
+    # per-step power iteration (6 F-applies/step) in build_precond_state.
+    f_lam0: object = None
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class StepDiagnostics:
-    iters: jax.Array
+    iters: jax.Array  # total iterations (outer FGMRES, or F + Schur solves)
     residual: jax.Array
     drag: jax.Array
     lift: jax.Array
     c_d: jax.Array
     c_l: jax.Array
     delta_p: jax.Array
+    # Per-solve split (projection mode: velocity solve / pressure Poisson;
+    # monolithic mode: iters_f == iters, iters_s == 0).
+    iters_f: jax.Array | None = None
+    iters_s: jax.Array | None = None
 
 
 class NavierStokesSolver:
@@ -274,6 +282,39 @@ class NavierStokesSolver:
             )
 
         self._bc_fns = [fn_g for (fn_g, _, _) in self._bc_groups]
+
+        # One-time spectral bound for the dot-free F smoothers: power
+        # iteration on the convection-free F (M/dt + nu*A with Dirichlet
+        # identity rows).  The per-step convection term perturbs lam_max only
+        # mildly at practical dt (F is mass-dominated); build_precond_state
+        # adds a 1.1 margin.  Computed only when a consumer exists.
+        self._f_lam0 = None
+        if (
+            cfg.time.stepper == "projection"
+            or cfg.precond.f_solver in ("richardson", "chebyshev")
+        ):
+            op, nu, dt = self.op, self.problem.nu, cfg.time.dt
+            n, d = self.space.n_unodes, self.space.dim
+            mask = op.dirichlet_mask
+            dF = ops.diag_F(op, nu, dt, None)
+            minv = jnp.where(mask, 1.0, 1.0 / dF)[:, None].repeat(
+                d, axis=1
+            ).reshape(-1)
+            # Eager loop (not scan/jit): a traced closure here would embed
+            # the operator arrays as program constants, which this backend's
+            # compile path rejects at scale.
+            v = jnp.sin(jnp.arange(n * d, dtype=self.dtype))
+            v = v / jnp.sqrt(jnp.sum(v * v))
+            lam = jnp.asarray(1.0, self.dtype)
+            for _ in range(8):
+                u = v.reshape(n, d)
+                y = ops.apply_F(op, nu, dt, None, u)
+                y = jnp.where(mask[:, None], u, y).reshape(-1)
+                w = minv * y
+                lam = jnp.sqrt(jnp.sum(w * w))
+                v = w / jnp.maximum(lam, 1e-30)
+            self._f_lam0 = lam
+
         self._rebuild_device_data()
 
     def _rebuild_device_data(self):
@@ -291,6 +332,7 @@ class NavierStokesSolver:
             forces=self.forces,
             probe=self.probe,
             ftab=self._ftab,
+            f_lam0=getattr(self, "_f_lam0", None),
         )
 
     # ------------------------------------------------------------------
@@ -434,6 +476,7 @@ class NavierStokesSolver:
         pst = build_precond_state(
             op, nu, dt_eff, conv, cfg.precond.kind,
             s_solver=cfg.precond.s_solver, f_solver=cfg.precond.f_solver,
+            f_lam=dev.f_lam0,
         )
         dt = dt_eff  # the velocity block is F = M/dt_eff + nu*A + C(w)
 
@@ -525,6 +568,7 @@ class NavierStokesSolver:
         from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
             schur_ell_matvec,
         )
+        from navierstokes_project_nm4pde_tpu.precond.blocks import _solve_F
         from navierstokes_project_nm4pde_tpu.solvers.krylov import cg
 
         cfg = self.config
@@ -534,7 +578,9 @@ class NavierStokesSolver:
         w, hist, dt_eff = self._bdf_terms(state, dt)
         conv = ops.convection_setup(op, w, backflow=dev.backflow)
         pst = build_precond_state(
-            op, nu, dt_eff, conv, "yosida", s_solver="mg2_cg", f_solver="gmres"
+            op, nu, dt_eff, conv, "yosida",
+            s_solver="mg2", f_solver=cfg.precond.f_solver,
+            f_lam=dev.f_lam0,
         )
         mask = op.dirichlet_mask
         n, d = self.space.n_unodes, self.space.dim
@@ -553,19 +599,36 @@ class NavierStokesSolver:
             y = ops.apply_F(op, nu, dt_eff, conv, u)
             return jnp.where(mask[:, None], u, y).reshape(-1)
 
-        minv = jnp.broadcast_to(pst.inv_diag_Fhat[:, None], (n, d)).reshape(-1)
+        # F preconditioner: the same fixed-iteration Jacobi smoothers the
+        # block preconditioners use (f_solver/f_iters from config); plain
+        # Jacobi needs ~4x the outer iterations (measured at 609k DoF).
+        if cfg.precond.f_iters > 0:
+
+            def Mf(v):
+                z = _solve_F(
+                    op, pst, nu, dt_eff, v.reshape(n, d), cfg.precond
+                )
+                return z.reshape(-1)
+
+        else:
+            minv = jnp.broadcast_to(
+                pst.inv_diag_Fhat[:, None], (n, d)
+            ).reshape(-1)
+            Mf = lambda v: minv * v  # noqa: E731
+
         u_guess, p_guess = self._warm_guess(state)
         u0 = jnp.where(mask[:, None], g, u_guess)
         b_flat = rhs_u.reshape(-1)
         r0 = b_flat - Fop(u0.reshape(-1))
+        tol_kw = self._tol_kwargs(b_flat)
         du, info_f = fgmres(
             Fop,
             r0,
-            M=lambda v: minv * v,
+            M=Mf,
             restart=cfg.solver.restart,
             maxiter=cfg.solver.maxiter,
             precise=cfg.numerics.precise_dots,
-            **self._tol_kwargs(b_flat),
+            **tol_kw,
         )
         u_star = u0 + du.reshape(n, d)
 
@@ -582,6 +645,15 @@ class NavierStokesSolver:
         def M2(v):
             return twolevel_apply(op.coarse, (pst.schur_cho_L, True), S, inv_d, v)
 
+        # The Poisson solve meets the same ABSOLUTE target as the velocity
+        # solve (that is exactly what the monolithic FGMRES enforces on the
+        # continuity rows: one tolerance on the combined residual, dominated
+        # by the momentum scale).  Measuring it against ||D u*|| -- which a
+        # good F solve has already made small -- over-solves by ~2 orders.
+        if tol_kw.get("tol_mode") == "abs":
+            s_rtol, s_atol = 0.0, tol_kw["atol"]
+        else:
+            s_rtol, s_atol = cfg.solver.rtol, cfg.solver.atol
         # warm start: the previous pressure increment (phi_n ~ p_n - p_{n-1})
         phi0 = p_guess - state.p
         phi, info_s = cg(
@@ -589,8 +661,8 @@ class NavierStokesSolver:
             rhs_p,
             M=M2,
             x0=phi0,
-            rtol=cfg.solver.rtol,
-            atol=cfg.solver.atol,
+            rtol=s_rtol,
+            atol=s_atol,
             maxiter=cfg.solver.maxiter,
             precise=cfg.numerics.precise_dots,
         )
@@ -613,11 +685,16 @@ class NavierStokesSolver:
             iters=info_f.iters + info_s.iters,
             residual=jnp.maximum(info_f.residual, info_s.residual),
         )
-        diag = self._diagnostics(u_new, p_new, t_new, info, nu, dev)
+        diag = self._diagnostics(
+            u_new, p_new, t_new, info, nu, dev,
+            iters_f=info_f.iters, iters_s=info_s.iters,
+        )
         return new_state, diag
 
     # ------------------------------------------------------------------
-    def _diagnostics(self, u, p, t, info, nu=None, dev=None) -> StepDiagnostics:
+    def _diagnostics(
+        self, u, p, t, info, nu=None, dev=None, iters_f=None, iters_s=None
+    ) -> StepDiagnostics:
         if nu is None:
             nu = self.problem.nu
         if dev is None:
@@ -646,6 +723,8 @@ class NavierStokesSolver:
             c_d=c_d,
             c_l=c_l,
             delta_p=delta_p,
+            iters_f=info.iters if iters_f is None else iters_f,
+            iters_s=jnp.zeros_like(info.iters) if iters_s is None else iters_s,
         )
 
     # ------------------------------------------------------------------
@@ -685,9 +764,11 @@ class NavierStokesSolver:
         if n_steps <= 0:
             # e.g. resuming a finished checkpoint: nothing to do.
             empty = np.zeros(0, dtype=np.float64)
+            zi = np.zeros(0, dtype=np.int32)
             return state, StepDiagnostics(
-                iters=np.zeros(0, dtype=np.int32), residual=empty, drag=empty,
+                iters=zi, residual=empty, drag=empty,
                 lift=empty, c_d=empty, c_l=empty, delta_p=empty,
+                iters_f=zi, iters_s=zi,
             )
         chunk = max(1, self.config.numerics.steps_per_chunk)
 
@@ -724,7 +805,7 @@ class NavierStokesSolver:
                     f"solver diverged: non-finite residual at step {done} "
                     f"(residuals {d.residual})"
                 )
-            if np.all(d.iters >= self.config.solver.maxiter):
+            if np.all(np.maximum(d.iters_f, d.iters_s) >= self.config.solver.maxiter):
                 import warnings
 
                 warnings.warn(

@@ -92,6 +92,7 @@ def build_precond_state(
     kind: str,
     s_solver: str = "cg",
     f_solver: str = "gmres",
+    f_lam: jax.Array | None = None,
 ) -> PrecondState:
     mask = op.dirichlet_mask
     dF = ops.diag_F(op, nu, dt, conv)
@@ -132,7 +133,13 @@ def build_precond_state(
     else:
         cho_L = None
 
-    if f_solver == "richardson":
+    if f_lam is not None:
+        # Setup-time spectral bound (power iteration on the convection-free
+        # F, see NavierStokesSolver._setup) with a margin for the per-step
+        # convection perturbation -- saves 6 F-applies every step vs the
+        # per-step power iteration below.
+        f_lam = 1.1 * f_lam
+    elif f_solver in ("richardson", "chebyshev"):
         # lam_max of diag(F)^-1 F: the P2 mass block alone already exceeds 2
         # (P2 mass matrices are not diagonally dominant), so a fixed damping
         # diverges -- estimate per step and damp by 1/lam_max.
