@@ -24,8 +24,8 @@ import time
 
 
 def measure():
-    lc = float(os.environ.get("NS_BENCH_LC", "0.028"))
-    nz = int(os.environ.get("NS_BENCH_NZ", "12"))
+    lc = float(os.environ.get("NS_BENCH_LC", "0.024"))
+    nz = int(os.environ.get("NS_BENCH_NZ", "14"))  # 965k DoF (the metric's ~1M)
     n_steps = int(os.environ.get("NS_BENCH_STEPS", "10"))
     chunk = int(os.environ.get("NS_BENCH_CHUNK", "2"))  # short chunks: the
     # device runtime kills programs running longer than ~2 minutes
@@ -127,6 +127,7 @@ def main():
     attempts = [
         (0, {}),
         (420, {}),  # wait out worker recovery, same size
+        (300, {"NS_BENCH_LC": "0.028", "NS_BENCH_NZ": "12"}),  # ~609k DoF
         (300, {"NS_BENCH_LC": "0.05", "NS_BENCH_NZ": "8"}),  # ~200k DoF
     ]
     last_err = ""

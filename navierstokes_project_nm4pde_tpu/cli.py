@@ -120,6 +120,8 @@ def _run_cylinder(args, dim: int):
 
         jax.config.update("jax_debug_nans", True)
     nu_kw = {} if args.nu is None else {"nu": args.nu}
+    if dim == 2 and getattr(args, "u_m", None) is not None:
+        nu_kw["u_m"] = args.u_m
     problem = (
         Cylinder2DProblem(test_case=args.test_case, **nu_kw)
         if dim == 2
@@ -336,7 +338,12 @@ def main(argv=None):
     p2 = sub.add_parser("cylinder2d", help="DFG 2D flow past a cylinder")
     _common_flags(p2, dt=0.01, t_end=8.0, precond="asimple")
     p2.add_argument("--lc", type=float, default=0.05)
-    p2.add_argument("--test-case", type=int, default=2)
+    p2.add_argument("--test-case", type=int, default=2,
+                    help="1-3: reference cases; 4: steady inlet with correct "
+                         "constant mean (DFG 2D-2 validation)")
+    p2.add_argument("--u-m", type=float, default=None,
+                    help="peak inlet velocity (Re = (2/3) u_m D / nu); "
+                         "default 1.5 (Re=100); 3.0 gives Re=200")
 
     p3 = sub.add_parser("cylinder3d", help="DFG 3D flow past a cylinder")
     _common_flags(p3, dt=2e-4, t_end=4.0, precond="yosida")
