@@ -85,6 +85,12 @@ class NumericsConfig:
     # (ops/onehot.py).  Only affects vmapped runs; single-run semantics and
     # performance are unchanged (XLA gather-sum plans).
     ensemble_onehot: bool = False
+    # Fold the per-element F matrices once per step (F_e = detJ/dt M^ +
+    # nu GKd:A^ + C_e(w), ~400 B/cell) so every F-apply is one batched
+    # matmul instead of the 5-einsum chain -- measured 15% per apply at
+    # 609k DoF.  Disable for very large vmapped ensembles if the B x E x
+    # nloc^2 buffer pressures HBM.
+    fold_elem: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

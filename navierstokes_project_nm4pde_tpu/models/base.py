@@ -472,7 +472,8 @@ class NavierStokesSolver:
         t_new = (state.step.astype(self.dtype) + 1.0) * dt
 
         w, hist, dt_eff = self._bdf_terms(state, dt)
-        conv = ops.convection_setup(op, w, backflow=dev.backflow)
+        fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
+        conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
         pst = build_precond_state(
             op, nu, dt_eff, conv, cfg.precond.kind,
             s_solver=cfg.precond.s_solver, f_solver=cfg.precond.f_solver,
@@ -576,7 +577,8 @@ class NavierStokesSolver:
         dt = cfg.time.dt
         t_new = (state.step.astype(self.dtype) + 1.0) * dt
         w, hist, dt_eff = self._bdf_terms(state, dt)
-        conv = ops.convection_setup(op, w, backflow=dev.backflow)
+        fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
+        conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
         pst = build_precond_state(
             op, nu, dt_eff, conv, "yosida",
             s_solver="mg2", f_solver=cfg.precond.f_solver,

@@ -337,10 +337,19 @@ class ConvectionData:
     diagC: jax.Array  # [n_unodes]     global diagonal of C(w)
     bf: BackflowTables | None = None
     bf_coef: jax.Array | None = None  # [f, q] -rho/2 min(w.n, 0) JxW
+    # Folded per-element F matrices [E, n_loc_u, n_loc_u] for the (nu, dt)
+    # this step solves with: F_e = detJ/dt M^ + nu GKd:A^ + C_e(w).  One
+    # batched matmul per apply replaces the 5-einsum chain -- measured 15%
+    # per F-apply at 609k DoF (the chain's q-space intermediates round-trip
+    # HBM).  Costs ~400 B/cell; built per step when fold=(nu, dt) is passed.
+    F_e: jax.Array | None = None
 
 
 def convection_setup(
-    op: NSOperator, w: jax.Array, backflow: BackflowTables | None = None
+    op: NSOperator,
+    w: jax.Array,
+    backflow: BackflowTables | None = None,
+    fold: tuple | None = None,
 ) -> ConvectionData:
     """Tabulate the linearised convection + Temam term at quadrature points.
 
@@ -372,7 +381,19 @@ def convection_setup(
         bf_coef = -0.5 * jnp.minimum(un, 0.0) * backflow.jxw  # >= 0
         d_f = jnp.einsum("fq,fqi,fqi->fi", bf_coef, backflow.phi_u, backflow.phi_u)
         diagC = diagC + apply_gather_plan(backflow.plan, d_f.reshape(-1))
-    return ConvectionData(WG=WG, divw=divw, diagC=diagC, bf=backflow, bf_coef=bf_coef)
+
+    F_e = None
+    if fold is not None:
+        nu, dt = fold
+        F_e = op.MHAT[None] * (op.detJ / dt)[:, None, None]
+        F_e = F_e + nu * jnp.einsum("ekl,klij->eij", op.GKd, op.AHAT)
+        F_e = F_e + jnp.einsum(
+            "q,qi,eqj->eij", op.W, op.PHI_U,
+            WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
+        ) * op.detJ[:, None, None]
+    return ConvectionData(
+        WG=WG, divw=divw, diagC=diagC, bf=backflow, bf_coef=bf_coef, F_e=F_e
+    )
 
 
 def apply_convection(op: NSOperator, conv: ConvectionData, u: jax.Array) -> jax.Array:
@@ -399,13 +420,18 @@ def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -
     u_e = gather_u(op, u)
     if lowp:
         u_e = u_e.astype(op.MHAT.dtype)
-    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
-    y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
-    if conv is not None:
-        u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
-        dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
-        r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
-        y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
+    if conv is not None and conv.F_e is not None:
+        # Folded fast path: conv.F_e was built for THIS (nu, dt) by
+        # convection_setup(..., fold=(nu, dt)) -- caller contract.
+        y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
+    else:
+        y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
+        y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
+        if conv is not None:
+            u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
+            dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
+            r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+            y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
     if lowp:
         y_e = y_e.astype(jnp.bfloat16)
     y = scatter_u(op, y_e)
@@ -443,14 +469,17 @@ def apply_system(op: NSOperator, nu, dt, conv, u, p, mask_rows: bool = True):
     cost that rivals its bandwidth cost)."""
     u_e = gather_u(op, u)
     p_e = gather_p(op, p)
-    # F part
-    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
-    y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
-    if conv is not None:
-        u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
-        dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
-        r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
-        y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
+    # F part (folded fast path when conv.F_e matches this (nu, dt))
+    if conv is not None and conv.F_e is not None:
+        y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
+    else:
+        y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
+        y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
+        if conv is not None:
+            u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
+            dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
+            r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+            y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
     # G part (momentum pressure gradient) fused into the same reduction
     y_e = y_e - jnp.einsum("ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e) * op.detJ[:, None, None]
     y_u = scatter_u(op, y_e)
