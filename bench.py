@@ -30,7 +30,6 @@ def measure():
     chunk = int(os.environ.get("NS_BENCH_CHUNK", "2"))  # short chunks: the
     # device runtime kills programs running longer than ~2 minutes
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
-    f_iters = int(os.environ.get("NS_BENCH_F_ITERS", "4"))
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
     restart = int(os.environ.get("NS_BENCH_RESTART", "20"))
@@ -46,9 +45,19 @@ def measure():
     # stricter than the reference's absolute 1e-4).  tol_mode="r0" demands a
     # 1e-6 *reduction of the warm-start residual* -- ~3x more iterations.
     tol_mode = os.environ.get("NS_BENCH_TOL_MODE", "b")
-    # "monolithic" (reference-parity saddle-point FGMRES) or "projection"
-    # (incremental pressure-correction: one F solve + one Schur CG per step).
-    stepper = os.environ.get("NS_BENCH_STEPPER", "monolithic")
+    # "projection" (incremental pressure-correction: one F solve + one Schur
+    # CG per step; the default -- measured 4x over monolithic at equal
+    # tolerance, validated to the same ES orders / DFG coefficients) or
+    # "monolithic" (reference-parity saddle-point FGMRES).
+    stepper = os.environ.get("NS_BENCH_STEPPER", "projection")
+    # Velocity-solve preconditioner strength: in projection mode plain
+    # Jacobi (f_iters=0) measured fastest (PERFORMANCE.md round 2); the
+    # monolithic Yosida path needs the inner 4-iteration GMRES smoother.
+    f_iters = int(
+        os.environ.get(
+            "NS_BENCH_F_ITERS", "0" if stepper == "projection" else "4"
+        )
+    )
 
     import jax
 
@@ -78,7 +87,8 @@ def measure():
             low_precision=lowp,
         ),
         numerics=NumericsConfig(
-            dtype="float32", precise_dots=False, steps_per_chunk=chunk
+            dtype="float32", precise_dots=False, steps_per_chunk=chunk,
+            reduce_plan=os.environ.get("NS_BENCH_REDUCE", "table"),
         ),
     )
     solver = NavierStokesSolver(mesh, Cylinder3DProblem(test_case=2), cfg)

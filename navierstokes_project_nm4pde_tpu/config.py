@@ -91,6 +91,11 @@ class NumericsConfig:
     # 609k DoF.  Disable for very large vmapped ensembles if the B x E x
     # nloc^2 buffer pressures HBM.
     fold_elem: bool = True
+    # Velocity-reduce plan: "table" (padded [rows, K] gather tables) or
+    # "halving" (one flat 1-D gather + contiguous pairwise halving sums,
+    # ops/scatter.py HalvingPlan).  Same roundoff class; pick by
+    # measurement on the target backend.
+    reduce_plan: str = "table"
 
 
 @dataclasses.dataclass(frozen=True)

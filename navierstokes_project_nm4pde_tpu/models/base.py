@@ -166,6 +166,17 @@ class NavierStokesSolver:
                 self.space.n_unodes,
             )
             self.op = _dc.replace(self.op, onehot=plans)
+        if cfg.numerics.reduce_plan == "halving":
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                build_halving_plan,
+            )
+
+            hp = build_halving_plan(
+                np.asarray(self.space.cells_u), self.space.n_unodes
+            )
+            self.op = _dc.replace(self.op, hplan_u=hp)
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 

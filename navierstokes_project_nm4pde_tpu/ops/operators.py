@@ -87,6 +87,11 @@ class NSOperator:
     # XLA plan at C=192.  Requires an RCM-ordered mesh.  Single-run calls
     # keep the XLA gather-sum plans (the 128-lane tax loses at C=dim).
     onehot: "object | None" = None
+    # Optional pairwise-halving reduce plan for the velocity scatter
+    # (ops/scatter.py HalvingPlan): one flat 1-D gather + contiguous
+    # reshape sums instead of the padded [rows, K] table gather.  Built
+    # when NumericsConfig.reduce_plan == "halving".
+    hplan_u: "object | None" = None
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
     # plans (fast single-device path; TPU scatter is serialised and slow);
     # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD
@@ -236,6 +241,12 @@ def scatter_u(op: NSOperator, y_e: jax.Array) -> jax.Array:
     flat = y_e.reshape(-1, y_e.shape[-1])
     if op.onehot is not None:
         return _reduce_u_slots(op, flat)
+    if op.hplan_u is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import (
+            apply_halving_plan,
+        )
+
+        return apply_halving_plan(op.hplan_u, flat)
     return apply_gather_plan(op.plan_u, flat)
 
 

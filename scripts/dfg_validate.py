@@ -1,0 +1,174 @@
+"""DFG 2D-2 style validation run: steady inlet, drag/lift/Strouhal tracking.
+
+BASELINE.json config 3 ("2D cylinder, refined mesh, Re=200 with
+drag/lift/Strouhal tracking vs DFG reference").  Runs the steady-inlet DFG
+configuration (Cylinder2DProblem test case 4: correct constant mean
+velocity) on a refined graded channel mesh, with the DFG-standard pressure
+probes at the cylinder front/back (0.15, 0.2)/(0.25, 0.2) -- NOT the
+reference's shifted probes -- so delta-p compares against published tables
+(Schaefer-Turek 1996: at Re=100 c_d_max 3.22-3.24, c_l_max 0.99-1.01,
+St 0.295-0.305, delta-p 2.46-2.50).
+
+To reach the developed vortex street quickly from an impulsive start, the
+first `t_kick` seconds superimpose a small transverse inlet oscillation
+near the shedding frequency; it is OFF during the measurement window, and
+the recorded window only starts after `t_measure`.
+
+Usage:
+  python scripts/dfg_validate.py --re 100 --lc 0.03 --dt 2e-3 \
+      --t-end 16 --t-measure 9
+
+Prints one JSON summary line and writes outputDFG/coeff_re{RE}.csv.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_project_nm4pde_tpu.config import (
+    NumericsConfig,
+    PrecondConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from navierstokes_project_nm4pde_tpu.mesh import cylinder_channel_2d
+from navierstokes_project_nm4pde_tpu.models import (
+    Cylinder2DProblem,
+    NavierStokesSolver,
+)
+from navierstokes_project_nm4pde_tpu.models.cylinder2d import H
+
+
+def kicked_inlet(base_g, u_mean: float, t_kick: float, freq: float):
+    """Inlet profile with a transverse oscillation for t < t_kick."""
+
+    def g(x, t):
+        v = base_g(x, t)
+        y = x[:, 1]
+        para = 4.0 * y * (H - y) / (H * H)
+        amp = 0.1 * u_mean * jnp.sin(2.0 * jnp.pi * freq * t)
+        uy = jnp.where(t < t_kick, amp * para, 0.0)
+        return v.at[:, 1].add(uy)
+
+    return g
+
+
+def strouhal_from_lift(t: np.ndarray, cl: np.ndarray, U: float, D: float):
+    """Shedding frequency from upward zero crossings of the demeaned lift."""
+    s = cl - np.mean(cl)
+    up = np.nonzero((s[:-1] < 0) & (s[1:] >= 0))[0]
+    if len(up) < 2:
+        return float("nan"), 0
+    # linear interpolation of each crossing time
+    tc = t[up] + (t[up + 1] - t[up]) * (-s[up]) / (s[up + 1] - s[up])
+    periods = np.diff(tc)
+    f = 1.0 / np.mean(periods)
+    return float(f * D / U), len(periods)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--re", type=float, default=100.0)
+    ap.add_argument("--lc", type=float, default=0.03)
+    ap.add_argument("--dt", type=float, default=2e-3)
+    ap.add_argument("--t-end", type=float, default=16.0)
+    ap.add_argument("--t-kick", type=float, default=2.0)
+    ap.add_argument("--t-measure", type=float, default=9.0,
+                    help="start of the St/coefficient window")
+    ap.add_argument("--scheme", default="bdf2")
+    ap.add_argument("--stepper", default="projection")
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--maxiter", type=int, default=60)
+    ap.add_argument("--out-dir", default="outputDFG")
+    args = ap.parse_args()
+
+    D = 0.1
+    nu = 1e-3
+    # test case 4: U_mean = 2 u_m / 3,  Re = U_mean * D / nu
+    u_mean = args.re * nu / D
+    u_m = 1.5 * u_mean
+    problem = Cylinder2DProblem(test_case=4, nu=nu, u_m=u_m)
+    # DFG-standard probes (front/back of the cylinder) and the kicked inlet
+    # (published St at Re=100 is ~0.30 -> f = St U / D = 3 Hz; the kick
+    # frequency needs only to be in the lock-in neighbourhood)
+    f_kick = 0.3 * u_mean / D
+    dirichlet = dict(problem.dirichlet)
+    dirichlet[0] = kicked_inlet(dirichlet[0], u_mean, args.t_kick, f_kick)
+    problem = dataclasses.replace(
+        problem,
+        dirichlet=dirichlet,
+        probe_points=((0.15, 0.2), (0.25, 0.2)),
+    )
+
+    t0 = time.time()
+    mesh = cylinder_channel_2d(lc=args.lc)
+    cfg = RunConfig(
+        time=TimeConfig(dt=args.dt, t_end=args.t_end, scheme=args.scheme,
+                        stepper=args.stepper),
+        solver=SolverConfig(rtol=1e-6, maxiter=args.maxiter, tol_mode="b"),
+        precond=PrecondConfig(kind="yosida", f_iters=0, s_iters=3,
+                              s_solver="mg2_cg"),
+        numerics=NumericsConfig(dtype="float32", precise_dots=False,
+                                steps_per_chunk=args.chunk),
+    )
+    solver = NavierStokesSolver(mesh, problem, cfg)
+    n_steps = int(round(args.t_end / args.dt))
+    print(
+        f"# Re={args.re:.0f} mesh {mesh.n_cells} cells, "
+        f"{solver.space.n_dofs} DoFs, {n_steps} steps; setup "
+        f"{time.time() - t0:.0f}s; device {jax.devices()[0]}",
+        file=sys.stderr, flush=True,
+    )
+
+    t0 = time.time()
+    state, diags = solver.run(n_steps)
+    jax.block_until_ready(state.u)
+    wall = time.time() - t0
+
+    t = (np.arange(n_steps) + 1) * args.dt
+    cd = np.asarray(diags.c_d, np.float64)
+    cl = np.asarray(diags.c_l, np.float64)
+    dp = np.asarray(diags.delta_p, np.float64)
+    os.makedirs(args.out_dir, exist_ok=True)
+    csv = os.path.join(args.out_dir, f"coeff_re{args.re:.0f}.csv")
+    with open(csv, "w") as f:
+        f.write("t,c_d,c_l,delta_p,iters\n")
+        for i in range(n_steps):
+            f.write(f"{t[i]:.6f},{cd[i]:.6f},{cl[i]:.6f},{dp[i]:.6f},"
+                    f"{int(diags.iters[i])}\n")
+
+    w = t >= args.t_measure
+    st, n_per = strouhal_from_lift(t[w], cl[w], u_mean, D)
+    summary = {
+        "re": args.re,
+        "dofs": int(solver.space.n_dofs),
+        "cells": int(mesh.n_cells),
+        "dt": args.dt,
+        "window": [float(args.t_measure), float(args.t_end)],
+        "cd_max": float(np.max(cd[w])),
+        "cd_mean": float(np.mean(cd[w])),
+        "cl_max": float(np.max(cl[w])),
+        "cl_min": float(np.min(cl[w])),
+        "strouhal": st,
+        "n_periods": n_per,
+        "delta_p_mean": float(np.mean(dp[w])),
+        "delta_p_at_clmax": float(dp[w][np.argmax(cl[w])]),
+        "steps_per_sec": round(n_steps / wall, 3),
+        "iters_per_step_warm": float(np.mean(np.asarray(diags.iters)[w])),
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,9 +60,10 @@ def main():
     print(f"# {mesh.n_cells} cells, {solver.space.n_dofs} DoFs", file=sys.stderr)
 
     cells_np = jax.device_get(op.cells_u)
-    hplans = {
-        c: build_halving_plan(cells_np, n, chunk=c) for c in (4, 8, 16)
-    }
+    chunks = tuple(
+        int(c) for c in os.environ.get("NS_PROF_CHUNKS", "4,8,16").split(",")
+    )
+    hplans = {c: build_halving_plan(cells_np, n, chunk=c) for c in chunks}
 
     key = jax.random.PRNGKey(0)
     u0 = jax.random.normal(key, (n, d), dtype=jnp.float32)

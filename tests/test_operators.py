@@ -213,3 +213,50 @@ def test_stiffness_annihilates_linears(setup):
     y = np.asarray(ops.apply_stiffness(op, jnp.asarray(uv)))
     interior = ~space.dirichlet_mask(list(range(6)))  # all tags = full boundary
     assert np.abs(y[interior]).max() < 1e-10
+
+
+def test_halving_plan_matches_table(setup):
+    """HalvingPlan reduce == GatherPlan table reduce (same pairwise sums)."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        apply_gather_plan,
+        apply_halving_plan,
+        build_halving_plan,
+    )
+
+    space, geom, op = setup
+    rng = np.random.default_rng(3)
+    flat = jnp.asarray(
+        rng.standard_normal((space.cells_u.size, space.dim)), jnp.float64
+    )
+    want = apply_gather_plan(op.plan_u, flat)
+    for chunk in (4, 8):
+        hp = build_halving_plan(
+            np.asarray(space.cells_u), space.n_unodes, chunk=chunk
+        )
+        got = apply_halving_plan(hp, flat)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
+def test_halving_plan_wired_into_solver():
+    """reduce_plan='halving' produces the same apply_F as the table plan."""
+    import dataclasses
+
+    from navierstokes_project_nm4pde_tpu.ops.scatter import build_halving_plan
+
+    from navierstokes_project_nm4pde_tpu.mesh import cube_mesh
+
+    mesh = cube_mesh(2)
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0])
+    op = ops.build_operator(space, geom, mask, dtype=jnp.float64)
+    hp = build_halving_plan(np.asarray(space.cells_u), space.n_unodes)
+    oph = dataclasses.replace(op, hplan_u=hp)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((space.n_unodes, 3)))
+    conv = ops.convection_setup(op, u, fold=(0.01, 0.1))
+    y_table = ops.apply_F(op, 0.01, 0.1, conv, u)
+    y_halving = ops.apply_F(oph, 0.01, 0.1, conv, u)
+    np.testing.assert_allclose(
+        np.asarray(y_halving), np.asarray(y_table), rtol=1e-12
+    )
