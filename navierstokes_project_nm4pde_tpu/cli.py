@@ -329,6 +329,11 @@ def _run_ensemble(args):
 
 
 def main(argv=None):
+    from navierstokes_project_nm4pde_tpu.utils.platform import (
+        honor_platform_env,
+    )
+
+    honor_platform_env()
     parser = argparse.ArgumentParser(
         prog="navierstokes-tpu",
         description="TPU-native incompressible Navier-Stokes benchmarks",
