@@ -39,7 +39,10 @@ def _build_config(args, defaults):
             scheme=getattr(args, "scheme", "bdf1"),
             stepper=getattr(args, "stepper", "monolithic"),
         ),
-        solver=SolverConfig(rtol=args.rtol, restart=args.restart, maxiter=args.maxiter),
+        solver=SolverConfig(
+            rtol=args.rtol, restart=args.restart, maxiter=args.maxiter,
+            tol_mode=getattr(args, "tol_mode", "r0"),
+        ),
         precond=PrecondConfig(
             kind=args.precond, f_iters=args.f_iters, s_iters=args.s_iters,
             f_solver=args.f_solver, s_solver=args.s_solver,
@@ -70,6 +73,11 @@ def _common_flags(p, dt, t_end, precond):
                    help="monolithic saddle-point solve (reference parity) or "
                         "incremental pressure-correction splitting (faster)")
     p.add_argument("--rtol", type=float, default=1e-6)
+    p.add_argument("--tol-mode", type=str, default="r0",
+                   choices=["r0", "b", "abs"],
+                   help="stopping criterion: relative to the warm-start "
+                        "residual (r0, reference-like), to ||rhs|| (b, the "
+                        "scipy/PETSc convention), or absolute")
     p.add_argument("--restart", type=int, default=50)
     p.add_argument("--maxiter", type=int, default=200)
     p.add_argument("--f-iters", type=int, default=6)

@@ -311,20 +311,30 @@ class NavierStokesSolver:
             minv = jnp.where(mask, 1.0, 1.0 / dF)[:, None].repeat(
                 d, axis=1
             ).reshape(-1)
-            # Eager loop (not scan/jit): a traced closure here would embed
-            # the operator arrays as program constants, which this backend's
-            # compile path rejects at scale.
-            v = jnp.sin(jnp.arange(n * d, dtype=self.dtype))
-            v = v / jnp.sqrt(jnp.sum(v * v))
-            lam = jnp.asarray(1.0, self.dtype)
-            for _ in range(8):
-                u = v.reshape(n, d)
-                y = ops.apply_F(op, nu, dt, None, u)
-                y = jnp.where(mask[:, None], u, y).reshape(-1)
-                w = minv * y
-                lam = jnp.sqrt(jnp.sum(w * w))
-                v = w / jnp.maximum(lam, 1e-30)
-            self._f_lam0 = lam
+            # One jitted program with the operator as an ARGUMENT (a traced
+            # closure would embed the operator arrays as program constants,
+            # which this backend's compile path rejects at scale; an eager
+            # loop pays one remote dispatch per op -- minutes of setup over
+            # the tunneled backend).
+            def _power(op_, minv_, mask_):
+                v = jnp.sin(jnp.arange(n * d, dtype=self.dtype))
+                v = v / jnp.sqrt(jnp.sum(v * v))
+
+                def body(_, carry):
+                    v, _lam = carry
+                    u = v.reshape(n, d)
+                    y = ops.apply_F(op_, nu, dt, None, u)
+                    y = jnp.where(mask_[:, None], u, y).reshape(-1)
+                    w = minv_ * y
+                    lam = jnp.sqrt(jnp.sum(w * w))
+                    return w / jnp.maximum(lam, 1e-30), lam
+
+                _, lam = jax.lax.fori_loop(
+                    0, 8, body, (v, jnp.asarray(1.0, self.dtype))
+                )
+                return lam
+
+            self._f_lam0 = jax.jit(_power)(op, minv, mask)
 
         self._rebuild_device_data()
 
