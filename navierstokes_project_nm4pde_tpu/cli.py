@@ -83,7 +83,7 @@ def _common_flags(p, dt, t_end, precond):
     p.add_argument("--f-iters", type=int, default=6)
     p.add_argument("--s-iters", type=int, default=30)
     p.add_argument("--f-solver", type=str, default="gmres",
-                   choices=["gmres", "richardson", "chebyshev"])
+                   choices=["gmres", "richardson", "chebyshev", "pmg"])
     p.add_argument("--s-solver", type=str, default="cg",
                    choices=["cg", "chebyshev", "mg2", "mg2_cg", "spai", "spai_cg"])
     p.add_argument("--dtype", type=str, default="float32")

@@ -166,6 +166,17 @@ class NavierStokesSolver:
                 self.space.n_unodes,
             )
             self.op = _dc.replace(self.op, onehot=plans)
+        if cfg.precond.f_solver == "pmg":
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.pmg import (
+                build_velocity_pmg,
+            )
+
+            pmg = build_velocity_pmg(
+                self.space, self.geom, np.asarray(mask), dtype=self.dtype
+            )
+            self.op = _dc.replace(self.op, pmg=pmg)
         if cfg.numerics.reduce_plan == "halving":
             import dataclasses as _dc
 
@@ -302,7 +313,7 @@ class NavierStokesSolver:
         self._f_lam0 = None
         if (
             cfg.time.stepper == "projection"
-            or cfg.precond.f_solver in ("richardson", "chebyshev")
+            or cfg.precond.f_solver in ("richardson", "chebyshev", "pmg")
         ):
             op, nu, dt = self.op, self.problem.nu, cfg.time.dt
             n, d = self.space.n_unodes, self.space.dim
@@ -673,10 +684,24 @@ class NavierStokesSolver:
         # continuity rows: one tolerance on the combined residual, dominated
         # by the momentum scale).  Measuring it against ||D u*|| -- which a
         # good F solve has already made small -- over-solves by ~2 orders.
+        # BUT the absolute target must never exceed the divergence signal
+        # itself: when atol > ||D u*||, CG exits immediately with the
+        # extrapolated guess and the pressure evolves open-loop
+        # (p <- 2 p_n - p_{n-1}, a neutrally stable recursion) -- observed
+        # to blow up within ~20 Stokes-regime steps on a 53k-DoF mesh.
+        # Capping at a fixed fractional reduction of ||rhs_p|| keeps the
+        # feedback loop closed at ~2-3 extra CG iterations.
+        from navierstokes_project_nm4pde_tpu.solvers.krylov import _norm
+
+        rp_norm = _norm(rhs_p, cfg.numerics.precise_dots)
         if tol_kw.get("tol_mode") == "abs":
-            s_rtol, s_atol = 0.0, tol_kw["atol"]
+            s_rtol = 0.0
+            s_atol = jnp.minimum(tol_kw["atol"], 0.1 * rp_norm)
         else:
-            s_rtol, s_atol = cfg.solver.rtol, cfg.solver.atol
+            s_rtol = cfg.solver.rtol
+            s_atol = jnp.minimum(
+                jnp.asarray(cfg.solver.atol, rhs_p.dtype), 0.1 * rp_norm
+            )
         # warm start: the previous pressure increment (phi_n ~ p_n - p_{n-1})
         phi0 = p_guess - state.p
         phi, info_s = cg(

@@ -92,6 +92,9 @@ class NSOperator:
     # reshape sums instead of the padded [rows, K] table gather.  Built
     # when NumericsConfig.reduce_plan == "halving".
     hplan_u: "object | None" = None
+    # Optional p-multigrid (P2->P1) two-level structure for the velocity
+    # block (ops/pmg.py); built when PrecondConfig.f_solver == "pmg".
+    pmg: "object | None" = None
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
     # plans (fast single-device path; TPU scatter is serialised and slow);
     # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD

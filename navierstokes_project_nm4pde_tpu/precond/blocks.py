@@ -139,7 +139,7 @@ def build_precond_state(
         # convection perturbation -- saves 6 F-applies every step vs the
         # per-step power iteration below.
         f_lam = 1.1 * f_lam
-    elif f_solver in ("richardson", "chebyshev"):
+    elif f_solver in ("richardson", "chebyshev", "pmg"):
         # lam_max of diag(F)^-1 F: the P2 mass block alone already exceeds 2
         # (P2 mass matrices are not diagonally dominant), so a fixed damping
         # diverges -- estimate per step and damp by 1/lam_max.
@@ -211,6 +211,29 @@ def _solve_F(op, st: PrecondState, nu, dt, rhs_u, cfg: PrecondConfig, iters=None
             Aflat, rhs_u.reshape(-1), lambda v: Minv * v, iters=it,
             lam_min=lam_max / 8.0, lam_max=lam_max,
         )
+    elif cfg.f_solver == "pmg":
+        # Two-level P2->P1 correction (ops/pmg.py): damped-Jacobi
+        # pre/post-smoothing around a fixed-iteration coarse Jacobi-CG on
+        # the assembled P1 reaction-diffusion operator.  Two F-applies per
+        # call; the coarse SpMV traffic is ~25x below one fine apply.
+        from navierstokes_project_nm4pde_tpu.ops.pmg import (
+            pmg_coarse_solve,
+            pmg_vals,
+            prolong_p,
+            restrict_p,
+        )
+
+        omega = (cfg.omega / (0.5 * (1.0 + st.f_lam_max))).astype(dtype)
+        cvals, inv_dc = pmg_vals(op.pmg, nu, dt)
+        b = rhs_u.reshape(-1)
+        z = omega * Minv * b
+        r2 = (b - Aflat(z)).reshape(n, d)
+        zc = pmg_coarse_solve(
+            op.pmg, cvals, inv_dc, restrict_p(op.pmg, r2), iters=it
+        )
+        dz = prolong_p(op.pmg, zc, n)
+        z = z + jnp.where(mask[:, None], 0.0, dz).reshape(-1)
+        z = z + omega * Minv * (b - Aflat(z))
     else:
         z = gmres_fixed(
             Aflat, rhs_u.reshape(-1), lambda v: Minv * v, iters=it
