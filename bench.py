@@ -89,6 +89,12 @@ def measure():
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk,
             reduce_plan=os.environ.get("NS_BENCH_REDUCE", "table"),
+            # "highest" (the config default) is the correctness-validated
+            # setting; NS_BENCH_PRECISION=default exposes the bf16-operand
+            # mode for A/B only.
+            matmul_precision={
+                "default": None, "highest": "highest",
+            }[os.environ.get("NS_BENCH_PRECISION", "highest")],
         ),
     )
     solver = NavierStokesSolver(mesh, Cylinder3DProblem(test_case=2), cfg)

@@ -96,6 +96,13 @@ class NumericsConfig:
     # ops/scatter.py HalvingPlan).  Same roundoff class; pick by
     # measurement on the target backend.
     reduce_plan: str = "table"
+    # jax default matmul precision applied at solver construction.  On TPU
+    # the default truncates f32 einsum operands to bfloat16; measured to
+    # destabilise the projection stepper on fine meshes (a marginal mode
+    # amplified ~2.5x/step at 53k DoF 2D, lc=0.015, dt=1e-3) and to
+    # inflate Krylov iteration counts near tight tolerances.  "highest"
+    # uses full f32 (6-pass) products; None leaves the ambient setting.
+    matmul_precision: str | None = "highest"
 
 
 @dataclasses.dataclass(frozen=True)

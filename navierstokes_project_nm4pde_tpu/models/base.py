@@ -143,6 +143,10 @@ class NavierStokesSolver:
     # ------------------------------------------------------------------
     def _setup(self):
         cfg = self.config
+        if cfg.numerics.matmul_precision is not None:
+            jax.config.update(
+                "jax_default_matmul_precision", cfg.numerics.matmul_precision
+            )
         if cfg.numerics.spatial_reorder:
             # RCM gives the bounded windows the one-hot ensemble kernels
             # need; Morton remains the single-run default ordering.
