@@ -123,9 +123,6 @@ def build_velocity_pmg(space, geom, dirichlet_mask, dtype=jnp.float32):
     m_tab[urow, slot] = m_red
     dsel = urow == ucol
     donehot[urow[dsel], slot[dsel]] = 1.0
-    # identity rows for Dirichlet vertices: diag mass 1 * dt (so that
-    # m/dt + nu*a == 1 exactly after the per-step combine divides by dt --
-    # handled instead by masking in pmg_vals; keep raw zeros here.
 
     # --- P^T gather plan: slots = [vertex self | edge end0 | edge end1] ---
     edges = np.asarray(space.edges, dtype=np.int64)
