@@ -315,10 +315,11 @@ class NavierStokesSolver:
         # mildly at practical dt (F is mass-dominated); build_precond_state
         # adds a 1.1 margin.  Computed only when a consumer exists.
         self._f_lam0 = None
-        if (
-            cfg.time.stepper == "projection"
-            or cfg.precond.f_solver in ("richardson", "chebyshev", "pmg")
-        ):
+        # Needed only by the omega-damped smoothers (richardson/chebyshev/
+        # pmg): the plain-Jacobi and fixed-GMRES paths never read the
+        # bound, and the extra jitted program costs a ~1-2 min remote
+        # compile in every TPU solver setup.
+        if cfg.precond.f_solver in ("richardson", "chebyshev", "pmg"):
             op, nu, dt = self.op, self.problem.nu, cfg.time.dt
             n, d = self.space.n_unodes, self.space.dim
             mask = op.dirichlet_mask
