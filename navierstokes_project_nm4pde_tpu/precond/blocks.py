@@ -212,10 +212,14 @@ def _solve_F(op, st: PrecondState, nu, dt, rhs_u, cfg: PrecondConfig, iters=None
             lam_min=lam_max / 8.0, lam_max=lam_max,
         )
     elif cfg.f_solver == "pmg":
-        # Two-level P2->P1 correction (ops/pmg.py): damped-Jacobi
-        # pre/post-smoothing around a fixed-iteration coarse Jacobi-CG on
-        # the assembled P1 reaction-diffusion operator.  Two F-applies per
-        # call; the coarse SpMV traffic is ~25x below one fine apply.
+        # ADDITIVE two-level P2->P1 correction (ops/pmg.py): damped Jacobi
+        # plus a prolonged coarse solve of the SAME residual,
+        #   z = omega D^-1 r + P Fc^-1 P^T r.
+        # Zero fine F-applies per call (the multiplicative variant's
+        # pre/post-smoothing residuals cost 2 applies/call and lost
+        # end-to-end despite fewer outer iterations -- measured at 609k:
+        # 0.699 vs 0.814 steps/s); the coarse Jacobi-CG iterates on an
+        # [n_v, W] ELL SpMV ~25x smaller than one fine apply.
         from navierstokes_project_nm4pde_tpu.ops.pmg import (
             pmg_coarse_solve,
             pmg_vals,
@@ -226,14 +230,13 @@ def _solve_F(op, st: PrecondState, nu, dt, rhs_u, cfg: PrecondConfig, iters=None
         omega = (cfg.omega / (0.5 * (1.0 + st.f_lam_max))).astype(dtype)
         cvals, inv_dc = pmg_vals(op.pmg, nu, dt)
         b = rhs_u.reshape(-1)
-        z = omega * Minv * b
-        r2 = (b - Aflat(z)).reshape(n, d)
         zc = pmg_coarse_solve(
-            op.pmg, cvals, inv_dc, restrict_p(op.pmg, r2), iters=it
+            op.pmg, cvals, inv_dc, restrict_p(op.pmg, rhs_u), iters=it
         )
         dz = prolong_p(op.pmg, zc, n)
-        z = z + jnp.where(mask[:, None], 0.0, dz).reshape(-1)
-        z = z + omega * Minv * (b - Aflat(z))
+        z = omega * Minv * b + jnp.where(
+            mask[:, None], 0.0, dz
+        ).reshape(-1)
     else:
         z = gmres_fixed(
             Aflat, rhs_u.reshape(-1), lambda v: Minv * v, iters=it
