@@ -285,7 +285,10 @@ def _gather_kernel(
 
 
 def onehot_gather(plans: OneHotPlans, x: jax.Array) -> jax.Array:
-    """y_e = x[cells_flat]  for payload x [n_rows, C] -> [n_slots, C]."""
+    """y_e = x[cells_flat]  for payload x [n_rows, C] -> [n_slots, C].
+
+    Like onehot_reduce, payloads wider than 128 lanes run as 128-lane
+    chunks to bound the per-call VMEM windows."""
     g = plans.gather
     C0 = x.shape[1]
     C = _round_up(C0, 128)  # Mosaic DMA slices need 128-aligned lanes
@@ -294,6 +297,20 @@ def onehot_gather(plans: OneHotPlans, x: jax.Array) -> jax.Array:
     xp = jnp.concatenate([x, jnp.zeros((pad, C0), x.dtype)], axis=0)
     if C != C0:
         xp = jnp.pad(xp, ((0, 0), (0, C - C0)))
+    if C > 128:
+        parts = [
+            _onehot_gather_128(
+                g, jax.lax.slice_in_dim(xp, c0, c0 + 128, axis=1)
+            )
+            for c0 in range(0, C, 128)
+        ]
+        return jnp.concatenate(parts, axis=1)[: g.n_slots, :C0]
+    return _onehot_gather_128(g, xp)[: g.n_slots, :C0]
+
+
+def _onehot_gather_128(g: OneHotGatherPlan, xp: jax.Array) -> jax.Array:
+    C = xp.shape[1]
+    B = g.vstart.shape[0]
     SC = g.SC
     EWC = min(g.EW, 1024)  # chunk the window matmul: iota/onehot temporaries
     # at [EWC, SC] are the dominant VMEM transients
@@ -306,18 +323,17 @@ def onehot_gather(plans: OneHotPlans, x: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((g.S, C), lambda b, *_: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((g.VW, C), x.dtype),
-            pltpu.VMEM((_round_up(g.EW, EWC), C), x.dtype),
+            pltpu.VMEM((g.VW, C), xp.dtype),
+            pltpu.VMEM((_round_up(g.EW, EWC), C), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_gather_kernel, SC=SC, EWC=EWC),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B * g.S, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * g.S, C), xp.dtype),
         interpret=_interpret(),
     )(g.vstart, g.estart, g.li, xp)
-    return out[: g.n_slots, :C0]
 
 
 # ----------------------------------------------------------------------
@@ -377,7 +393,11 @@ def _onehot_reduce_region(r: OneHotReducePlan, yp: jax.Array, C: int):
 
 
 def onehot_reduce(plans: OneHotPlans, y: jax.Array) -> jax.Array:
-    """out[n] = sum of y over slots with cells_flat = n;  y [n_slots, C]."""
+    """out[n] = sum of y over slots with cells_flat = n;  y [n_slots, C].
+
+    Payloads wider than 128 lanes are processed in 128-lane chunks (one
+    pallas call each): a single call at C=256 (a 64-member 3D ensemble)
+    overflows the 16 MB scoped-vmem budget of the reduce blocks."""
     C0 = y.shape[1]
     C = _round_up(C0, 128)  # Mosaic DMA slices need 128-aligned lanes
     pad = max(plans.reduce_v.n_slots_pad, plans.reduce_e.n_slots_pad)
@@ -386,6 +406,11 @@ def onehot_reduce(plans: OneHotPlans, y: jax.Array) -> jax.Array:
     )
     if C != C0:
         yp = jnp.pad(yp, ((0, 0), (0, C - C0)))
-    out_v = _onehot_reduce_region(plans.reduce_v, yp, C)
-    out_e = _onehot_reduce_region(plans.reduce_e, yp, C)
-    return jnp.concatenate([out_v, out_e], axis=0)[:, :C0]
+    parts = []
+    for c0 in range(0, C, 128):
+        ypc = jax.lax.slice_in_dim(yp, c0, c0 + 128, axis=1)
+        out_v = _onehot_reduce_region(plans.reduce_v, ypc, 128)
+        out_e = _onehot_reduce_region(plans.reduce_e, ypc, 128)
+        parts.append(jnp.concatenate([out_v, out_e], axis=0))
+    out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return out[:, :C0]

@@ -172,3 +172,27 @@ def test_ensemble_onehot_end_to_end():
     np.testing.assert_allclose(
         np.asarray(diags.drag), np.asarray(diags0.drag), rtol=2e-3, atol=1e-4
     )
+
+
+def test_onehot_wide_payload_chunks(setup):
+    """C > 128 payloads (large ensembles) split into 128-lane kernel calls;
+    results must match plain indexing / segment sum exactly."""
+    import jax.numpy as jnp
+
+    from navierstokes_project_nm4pde_tpu.ops.onehot import (
+        onehot_gather,
+        onehot_reduce,
+    )
+
+    cells, n_u, plans = setup
+    rng = np.random.default_rng(11)
+    C = 320  # 3 lane chunks, last one partially padded
+    x = rng.standard_normal((n_u, C)).astype(np.float32)
+    y = onehot_gather(plans, jnp.asarray(x))
+    assert y.shape == (cells.size, C)
+    np.testing.assert_allclose(np.asarray(y), x[cells.reshape(-1)], rtol=0, atol=0)
+    ye = rng.standard_normal((cells.size, C)).astype(np.float32)
+    out = onehot_reduce(plans, jnp.asarray(ye))
+    ref = np.zeros((n_u, C), np.float32)
+    np.add.at(ref, cells.reshape(-1), ye)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-5)
