@@ -8,6 +8,8 @@ sweep -- optionally with the batch axis sharded across devices.
 
 from __future__ import annotations
 
+import sys
+import time
 from functools import partial
 
 import jax
@@ -57,11 +59,24 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
 
     chunks = []
     done = 0
+    chunk_walls = []  # (steps, seconds) per chunk; [0] includes compile
     while done < n_steps:
         length = min(spc, n_steps - done)
+        t0 = time.perf_counter()
         bstate, d = run_chunk(solver._dev, bstate, nus, length)
+        jax.block_until_ready(bstate.u)
+        chunk_walls.append((length, time.perf_counter() - t0))
         chunks.append(d)
         done += length
+    if len(chunk_walls) > 1:
+        warm_steps = sum(k for k, _ in chunk_walls[1:])
+        warm_secs = sum(s for _, s in chunk_walls[1:])
+        print(
+            f"[ensemble] sustained {B * warm_steps / warm_secs:.2f} "
+            f"member-steps/s (B={B}, {warm_steps} steps after the "
+            f"compile chunk; first chunk {chunk_walls[0][1]:.1f}s)",
+            file=sys.stderr, flush=True,
+        )
     diags = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
     # [T, B] -> [B, T]
     diags = jax.tree.map(lambda x: np.moveaxis(np.asarray(x), 0, 1), diags)
