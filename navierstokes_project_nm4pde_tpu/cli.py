@@ -158,17 +158,34 @@ def _run_cylinder(args, dim: int):
     cd_max, cl_min = -np.inf, np.inf
     done = {"n": int(state.step)}
 
+    # True mean inlet velocity U(t) in pure numpy: the telemetry callback
+    # runs per chunk, and evaluating the (jnp) problem.mean_velocity per
+    # step would cost one ~0.4 ms eager device op each -- 20k extra
+    # round-trips on the 3D default run.  (The reference's gmres.csv Re
+    # column hardcodes 0.1*1.5*sin(t pi/8)/1e-3 regardless of case and
+    # viscosity, src/NavierStokes2D.cpp:622; this generalises it to the
+    # run's actual inlet profile and nu.)
+    u_m2 = args.u_m if getattr(args, "u_m", None) else 1.5
+    # 2D mean = 2 u_m / 3; 3D mean = 4 U_M / 9 with U_M = 9 (cylinder3d.py)
+    base_mean = 2.0 * u_m2 / 3.0 if dim == 2 else 4.0
+    ramped = (dim == 2 and args.test_case == 2) or (
+        dim == 3 and args.test_case == 3
+    )
+
+    def inlet_mean_np(t):
+        if args.test_case == 1:
+            return np.zeros_like(np.asarray(t, dtype=float))
+        f = np.sin(np.pi * np.asarray(t, dtype=float) / 8.0) if ramped else 1.0
+        return base_mean * f
+
     def callback(solver, state, diags):
         nonlocal cd_max, cl_min
         k = len(diags.iters)
         steps = np.arange(done["n"] + 1, done["n"] + k + 1)
         times = steps * cfg.time.dt
         done["n"] += k
-        # Re(t) = U_mean(t) D / nu (the reference's gmres.csv Re column,
-        # src/NavierStokes2D.cpp:622, generalised to the run's actual
-        # profile/viscosity instead of its hardcoded 2D constants)
-        U_t = np.array([float(problem.mean_velocity(t)) for t in times])
-        re = (problem.diameter * U_t / problem.nu).astype(int)
+        # Re(t) = U_mean(t) D / nu (see inlet_mean_np above)
+        re = (problem.diameter * inlet_mean_np(times) / problem.nu).astype(int)
         log.log_gmres(times, re, diags.iters)
         log.log_coefficients(steps, diags.c_d, diags.c_l)
         log.log_forces(
@@ -205,7 +222,7 @@ def _run_cylinder(args, dim: int):
     print(f"Pressure difference (P(A) - P(B)) = {diags.delta_p[-1]}")
     # characteristic velocity for St: the run's peak mean inlet velocity
     t_grid = np.arange(1, n_steps + 1) * cfg.time.dt
-    U_char = float(np.max(np.abs([problem.mean_velocity(t) for t in t_grid])))
+    U_char = float(np.max(np.abs(inlet_mean_np(t_grid))))
     st = strouhal_number(
         diags.c_l, cfg.time.dt, diameter=problem.diameter,
         velocity=U_char or 1.0,

@@ -96,7 +96,8 @@ class NumericsConfig:
     # ops/scatter.py HalvingPlan).  Same roundoff class; pick by
     # measurement on the target backend.
     reduce_plan: str = "table"
-    # jax default matmul precision applied at solver construction.  On TPU
+    # Matmul precision scoped around every step trace (models/base.py
+    # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to
     # destabilise the projection stepper on fine meshes (a marginal mode
     # amplified ~2.5x/step at 53k DoF 2D, lc=0.015, dt=1e-3) and to

@@ -32,7 +32,7 @@ def read_msh(path: str) -> Mesh:
             version = float(lines[i + 1].split()[0])
             i += 3
         elif line == "$Entities":
-            i = _read_entities_v4(lines, i + 1, ent_phys)
+            i = _read_entities_v4(lines, i + 1, ent_phys, version)
         elif line == "$Nodes":
             if version is not None and version >= 4.0:
                 i = _read_nodes_v4(lines, i + 1, nodes)
@@ -130,7 +130,7 @@ def _read_nodes_v4(lines, i, nodes):
     return i + 1
 
 
-def _read_entities_v4(lines, i, ent_phys):
+def _read_entities_v4(lines, i, ent_phys, version=4.1):
     """Parse $Entities: map (entityDim, entityTag) -> first physical tag.
 
     gmsh v4.x element blocks carry only *geometric* entity tags; the
@@ -143,8 +143,12 @@ def _read_entities_v4(lines, i, ent_phys):
         for _ in range(cnt):
             parts = lines[i].split()
             tag = int(parts[0])
-            # points: tag x y z; higher dims: tag + min/max bounding box
-            off = 4 if dim == 0 else 7
+            # v4.1 points: tag x y z; v4.0 points carry a full min/max
+            # bounding box like higher-dim entities; higher dims: tag + bbox
+            if dim == 0:
+                off = 4 if (version is None or version >= 4.1) else 7
+            else:
+                off = 7
             nphys = int(parts[off])
             if nphys >= 1:
                 ent_phys[(dim, tag)] = int(parts[off + 1])

@@ -143,10 +143,6 @@ class NavierStokesSolver:
     # ------------------------------------------------------------------
     def _setup(self):
         cfg = self.config
-        if cfg.numerics.matmul_precision is not None:
-            jax.config.update(
-                "jax_default_matmul_precision", cfg.numerics.matmul_precision
-            )
         if cfg.numerics.spatial_reorder:
             # RCM gives the bounded windows the one-hot ensemble kernels
             # need; Morton remains the single-run default ordering.
@@ -350,7 +346,12 @@ class NavierStokesSolver:
                 )
                 return lam
 
-            self._f_lam0 = jax.jit(_power)(op, minv, mask)
+            prec = cfg.numerics.matmul_precision
+            if prec is not None:
+                with jax.default_matmul_precision(prec):
+                    self._f_lam0 = jax.jit(_power)(op, minv, mask)
+            else:
+                self._f_lam0 = jax.jit(_power)(op, minv, mask)
 
         self._rebuild_device_data()
 
@@ -499,6 +500,17 @@ class NavierStokesSolver:
             nu = self.problem.nu
         if dev is None:
             dev = self._dev
+        # Scope the matmul precision to this trace (a process-global
+        # jax.config.update here would leak into other solvers and make
+        # same-process A/B comparisons meaningless).
+        prec = cfg.numerics.matmul_precision
+        if prec is not None:
+            with jax.default_matmul_precision(prec):
+                return self._step_dispatch(state, nu, dev)
+        return self._step_dispatch(state, nu, dev)
+
+    def _step_dispatch(self, state: State, nu, dev: DeviceData):
+        cfg = self.config
         if cfg.time.stepper == "projection":
             return self._step_projection(state, nu, dev)
         dt = cfg.time.dt
@@ -700,8 +712,16 @@ class NavierStokesSolver:
 
         rp_norm = _norm(rhs_p, cfg.numerics.precise_dots)
         if tol_kw.get("tol_mode") == "abs":
+            # fgmres's "abs" convention carries the target in BOTH slots
+            # (tol = max(rtol * 1, atol)): _tol_kwargs puts it in atol for
+            # cfg tol_mode="b" but in rtol for cfg tol_mode="abs" --
+            # reading only atol collapsed the target to 0 there and pinned
+            # the CG at maxiter every step.
+            abs_target = jnp.maximum(
+                jnp.asarray(tol_kw["rtol"], rhs_p.dtype), tol_kw["atol"]
+            )
             s_rtol = 0.0
-            s_atol = jnp.minimum(tol_kw["atol"], 0.1 * rp_norm)
+            s_atol = jnp.minimum(abs_target, 0.1 * rp_norm)
         else:
             s_rtol = cfg.solver.rtol
             s_atol = jnp.minimum(

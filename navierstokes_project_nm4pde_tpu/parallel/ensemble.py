@@ -39,6 +39,17 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         bstate = jax.tree.map(lambda x: jax.device_put(x, sharding), bstate)
         nus = jax.device_put(nus, sharding)
 
+    # The setup-time F spectral bound was computed for the solver's base nu
+    # (convection-free); ensemble members solve with DIFFERENT nus, and the
+    # damped smoothers (richardson/chebyshev/pmg) diverge if lam_max is
+    # underestimated.  Drop the cached bound so build_precond_state falls
+    # back to its per-step power iteration, which vmaps per member.
+    dev_run = solver._dev
+    if dev_run.f_lam0 is not None:
+        import dataclasses as _dc
+
+        dev_run = _dc.replace(dev_run, f_lam0=None)
+
     vstep = jax.vmap(
         lambda st, nu, dev: solver.step(st, nu=nu, dev=dev),
         in_axes=(0, 0, None),
@@ -63,7 +74,7 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
     while done < n_steps:
         length = min(spc, n_steps - done)
         t0 = time.perf_counter()
-        bstate, d = run_chunk(solver._dev, bstate, nus, length)
+        bstate, d = run_chunk(dev_run, bstate, nus, length)
         jax.block_until_ready(bstate.u)
         chunk_walls.append((length, time.perf_counter() - t0))
         chunks.append(d)

@@ -74,9 +74,10 @@ def main():
     # noop baseline (loop + normalisation overhead)
     results["baseline"] = timeit(lambda dd, v: v + 1.0, op, u0)
 
-    # full F apply
+    # full F apply (conv threaded as part of the jit argument: closure
+    # constants are serialized into the remote compile request, CLAUDE.md)
     results["apply_F"] = timeit(
-        lambda dd, v: ops.apply_F(dd, nu, dt, conv, v), op, u0
+        lambda dd, v: ops.apply_F(dd[0], nu, dt, dd[1], v), (op, conv), u0
     )
 
     # gather only: u_e -> collapse back to [n, d] with a cheap slice
@@ -88,18 +89,19 @@ def main():
     results["gather"] = timeit(gather_only, op, u0)
 
     # gather + element einsums, cheap fold (no plan reduce)
-    def gather_einsum(dd, v):
+    def gather_einsum(data, v):
+        dd, cv = data
         u_e = ops.gather_u(dd, v)
         y_e = jnp.einsum("ij,ejc->eic", dd.MHAT, u_e) * (dd.detJ / dt)[:, None, None]
         y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", dd.GKd, dd.AHAT, u_e)
         u_q = jnp.einsum("qi,eic->eqc", dd.PHI_U, u_e)
-        dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
-        r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+        dir_q = jnp.einsum("eqi,eic->eqc", cv.WG, u_e)
+        r = dir_q + 0.5 * cv.divw[:, :, None] * u_q
         y_e = y_e + jnp.einsum("q,qi,eqc->eic", dd.W, dd.PHI_U, r) * dd.detJ[:, None, None]
         s = jnp.sum(y_e, axis=(0, 1))
         return v + s[None, :]
 
-    results["gather+einsum"] = timeit(gather_einsum, op, u0)
+    results["gather+einsum"] = timeit(gather_einsum, (op, conv), u0)
 
     # reduce only (plan applied to a fixed element array reconstructed from v)
     def reduce_only(dd, v):
@@ -115,22 +117,26 @@ def main():
     CW = jnp.einsum("q,qi,eqj->eij", op.W, op.PHI_U, conv.WG + 0.5 * conv.divw[:, :, None] * op.PHI_U[None]) * op.detJ[:, None, None]
     F_e = MHATd + AHATd + CW
 
-    def folded(dd, v):
+    def folded(data, v):
+        dd, fe = data
         u_e = ops.gather_u(dd, v)
-        y_e = jnp.einsum("eij,ejc->eic", F_e, u_e)
+        y_e = jnp.einsum("eij,ejc->eic", fe, u_e)
         return ops.scatter_u(dd, y_e)
 
-    results["folded_full"] = timeit(folded, op, u0)
+    results["folded_full"] = timeit(folded, (op, F_e), u0)
 
-    def folded_bf16(dd, v):
+    def folded_bf16(data, v):
+        dd, fe16 = data
         u_e = ops.gather_u(dd, v.astype(jnp.bfloat16))
         y_e = jnp.einsum(
-            "eij,ejc->eic", F_e.astype(jnp.bfloat16), u_e,
+            "eij,ejc->eic", fe16, u_e,
             preferred_element_type=jnp.float32,
         )
         return ops.scatter_u(dd, y_e)
 
-    results["folded_bf16gather"] = timeit(folded_bf16, op, u0)
+    results["folded_bf16gather"] = timeit(
+        folded_bf16, (op, F_e.astype(jnp.bfloat16)), u0
+    )
 
     base = results["baseline"]
     out = {k: round(v - base if k != "baseline" else v, 3) for k, v in results.items()}

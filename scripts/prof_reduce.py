@@ -36,18 +36,22 @@ from navierstokes_project_nm4pde_tpu.ops.scatter import (
 REPS = 30
 
 
-def timeit(fn, u0):
-    def prog(u):
+def timeit(fn, data, u0):
+    """fn(data, u); `data` (plans/operators/folded tables) is threaded as a
+    jit ARGUMENT -- closure constants are serialized into the remote
+    compile request, which this backend rejects at scale (CLAUDE.md)."""
+
+    def prog(data, u):
         def body(_, v):
-            out = fn(v)
+            out = fn(data, v)
             return out / (1e-30 + jnp.max(jnp.abs(out)))
 
         return jax.lax.fori_loop(0, REPS, body, u)
 
     jprog = jax.jit(prog)
-    jax.block_until_ready(jprog(u0))
+    jax.block_until_ready(jprog(data, u0))
     t0 = time.perf_counter()
-    jax.block_until_ready(jprog(u0))
+    jax.block_until_ready(jprog(data, u0))
     return (time.perf_counter() - t0) / REPS * 1e3
 
 
@@ -74,7 +78,7 @@ def main():
     conv = ops.convection_setup(op, u0, fold=(nu, dt))
 
     results = {}
-    results["baseline"] = timeit(lambda v: v + 1.0, u0)
+    results["baseline"] = timeit(lambda _, v: v + 1.0, None, u0)
 
     # correctness: halving reduce == table reduce
     flat = jax.random.normal(key, (E * nloc, d), dtype=jnp.float32)
@@ -85,32 +89,33 @@ def main():
         assert err < 1e-5, (c, err)
     print("# halving == table reduce (to roundoff)", file=sys.stderr)
 
-    def mk_reduce(applyfn, plan):
-        def f(v):
+    def mk_reduce(applyfn):
+        def f(plan, v):
             fl = jnp.broadcast_to(v[:1, :], (E * nloc, d)) + v[0, 0]
             return applyfn(plan, fl)
 
         return f
 
-    results["reduce_table"] = timeit(mk_reduce(apply_gather_plan, op.plan_u), u0)
+    results["reduce_table"] = timeit(mk_reduce(apply_gather_plan), op.plan_u, u0)
     for c, hp in hplans.items():
-        results[f"reduce_halving{c}"] = timeit(mk_reduce(apply_halving_plan, hp), u0)
+        results[f"reduce_halving{c}"] = timeit(mk_reduce(apply_halving_plan), hp, u0)
 
     # folded F-apply with each reduce
     def mk_apply(reduce_fn):
-        def f(v):
-            u_e = ops.gather_u(op, v)
-            y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
-            return reduce_fn(y_e.reshape(-1, d))
+        def f(data, v):
+            op_, F_e, plan = data
+            u_e = ops.gather_u(op_, v)
+            y_e = jnp.einsum("eij,ejc->eic", F_e, u_e)
+            return reduce_fn(plan, y_e.reshape(-1, d))
 
         return f
 
     results["applyF_folded_table"] = timeit(
-        mk_apply(lambda fl: apply_gather_plan(op.plan_u, fl)), u0
+        mk_apply(apply_gather_plan), (op, conv.F_e, op.plan_u), u0
     )
     for c, hp in hplans.items():
         results[f"applyF_folded_halving{c}"] = timeit(
-            mk_apply(lambda fl, hp=hp: apply_halving_plan(hp, fl)), u0
+            mk_apply(apply_halving_plan), (op, conv.F_e, hp), u0
         )
 
     base = results["baseline"]
