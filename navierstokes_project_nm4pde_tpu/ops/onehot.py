@@ -340,7 +340,7 @@ def _onehot_gather_128(g: OneHotGatherPlan, xp: jax.Array) -> jax.Array:
 # Reduce kernel
 # ----------------------------------------------------------------------
 def _reduce_kernel(
-    wstart_ref, nchunk_ref, lab_ref, y_hbm, out_ref, ybuf, sem, *, WC
+    wstart_ref, nchunk_ref, lab_ref, y_hbm, out_ref, ybuf, sem, *, WC, precise
 ):
     b = pl.program_id(0)
     NB = out_ref.shape[0]
@@ -358,6 +358,20 @@ def _reduce_kernel(
         labc = lab_ref[0, k, :]  # [WC] lanes
         ior = jax.lax.broadcasted_iota(jnp.int32, (NB, WC), 0)
         oh = (labc[None, :] == ior).astype(cdt)
+        if precise and cdt == jnp.float32:
+            # The MXU truncates f32 operands to bf16 (~1e-3 relative on the
+            # payload).  The one-hot factor is EXACT in bf16, so only the
+            # payload needs the classic hi/lo split: two matmuls recover
+            # ~2^-16 relative accuracy at 2x the (cheap) MXU cost.
+            y = ybuf[:]
+            hi = y.astype(jnp.bfloat16)
+            lo = (y - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            oh16 = oh.astype(jnp.bfloat16)
+            part = jnp.dot(oh16, hi, preferred_element_type=jnp.float32)
+            part = part + jnp.dot(
+                oh16, lo, preferred_element_type=jnp.float32
+            )
+            return acc + part
         return acc + jnp.dot(oh, ybuf[:], preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(
@@ -366,7 +380,7 @@ def _reduce_kernel(
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def _onehot_reduce_region(r: OneHotReducePlan, yp: jax.Array, C: int):
+def _onehot_reduce_region(r, yp, C, precise=False):
     B = r.win_start.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -384,7 +398,7 @@ def _onehot_reduce_region(r: OneHotReducePlan, yp: jax.Array, C: int):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_reduce_kernel, WC=r.WC),
+        functools.partial(_reduce_kernel, WC=r.WC, precise=precise),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * r.NB, C), yp.dtype),
         interpret=_interpret(),
@@ -392,7 +406,7 @@ def _onehot_reduce_region(r: OneHotReducePlan, yp: jax.Array, C: int):
     return out[: r.n_rows]
 
 
-def onehot_reduce(plans: OneHotPlans, y: jax.Array) -> jax.Array:
+def onehot_reduce(plans, y, precise=False):
     """out[n] = sum of y over slots with cells_flat = n;  y [n_slots, C].
 
     Payloads wider than 128 lanes are processed in 128-lane chunks (one
@@ -409,8 +423,8 @@ def onehot_reduce(plans: OneHotPlans, y: jax.Array) -> jax.Array:
     parts = []
     for c0 in range(0, C, 128):
         ypc = jax.lax.slice_in_dim(yp, c0, c0 + 128, axis=1)
-        out_v = _onehot_reduce_region(plans.reduce_v, ypc, 128)
-        out_e = _onehot_reduce_region(plans.reduce_e, ypc, 128)
+        out_v = _onehot_reduce_region(plans.reduce_v, ypc, 128, precise)
+        out_e = _onehot_reduce_region(plans.reduce_e, ypc, 128, precise)
         parts.append(jnp.concatenate([out_v, out_e], axis=0))
     out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     return out[:, :C0]

@@ -268,7 +268,10 @@ def _reduce_u_slots_vmap(axis_size, in_batched, op, flat):
     del axis_size, in_batched
     B, S, d = flat.shape
     ft = jnp.moveaxis(flat, 0, -1).reshape(S, d * B)
-    out = onehot_reduce(op.onehot, ft)  # [n_rows, d*B]
+    # precise=True: the kernel's MXU dot otherwise truncates the payload
+    # to bf16 (~1e-3 relative) -- the same noise class the engine-wide
+    # matmul_precision="highest" policy exists to avoid.
+    out = onehot_reduce(op.onehot, ft, precise=True)  # [n_rows, d*B]
     return jnp.moveaxis(out.reshape(-1, d, B), -1, 0), True
 
 
