@@ -411,7 +411,13 @@ def onehot_reduce(plans, y, precise=False):
 
     Payloads wider than 128 lanes are processed in 128-lane chunks (one
     pallas call each): a single call at C=256 (a 64-member 3D ensemble)
-    overflows the 16 MB scoped-vmem budget of the reduce blocks."""
+    overflows the 16 MB scoped-vmem budget of the reduce blocks.
+
+    `precise` splits the payload hi/lo in bf16 to defeat the MXU's f32
+    operand truncation -- only meaningful on the real TPU: interpret mode
+    computes a full-f32 dot already, and the 2x16-bit split would be
+    strictly LESS accurate there."""
+    precise = precise and not _interpret()
     C0 = y.shape[1]
     C = _round_up(C0, 128)  # Mosaic DMA slices need 128-aligned lanes
     pad = max(plans.reduce_v.n_slots_pad, plans.reduce_e.n_slots_pad)
