@@ -340,7 +340,7 @@ def _onehot_gather_128(g: OneHotGatherPlan, xp: jax.Array) -> jax.Array:
 # Reduce kernel
 # ----------------------------------------------------------------------
 def _reduce_kernel(
-    wstart_ref, nchunk_ref, lab_ref, y_hbm, out_ref, ybuf, sem, *, WC, precise
+    wstart_ref, nchunk_ref, lab_ref, y_hbm, out_ref, ybuf, sem, *, WC
 ):
     b = pl.program_id(0)
     NB = out_ref.shape[0]
@@ -358,20 +358,6 @@ def _reduce_kernel(
         labc = lab_ref[0, k, :]  # [WC] lanes
         ior = jax.lax.broadcasted_iota(jnp.int32, (NB, WC), 0)
         oh = (labc[None, :] == ior).astype(cdt)
-        if precise and cdt == jnp.float32:
-            # The MXU truncates f32 operands to bf16 (~1e-3 relative on the
-            # payload).  The one-hot factor is EXACT in bf16, so only the
-            # payload needs the classic hi/lo split: two matmuls recover
-            # ~2^-16 relative accuracy at 2x the (cheap) MXU cost.
-            y = ybuf[:]
-            hi = y.astype(jnp.bfloat16)
-            lo = (y - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            oh16 = oh.astype(jnp.bfloat16)
-            part = jnp.dot(oh16, hi, preferred_element_type=jnp.float32)
-            part = part + jnp.dot(
-                oh16, lo, preferred_element_type=jnp.float32
-            )
-            return acc + part
         return acc + jnp.dot(oh, ybuf[:], preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(
@@ -380,7 +366,7 @@ def _reduce_kernel(
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
-def _onehot_reduce_region(r, yp, C, precise=False):
+def _onehot_reduce_region(r, yp, C):
     B = r.win_start.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -398,7 +384,7 @@ def _onehot_reduce_region(r, yp, C, precise=False):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_reduce_kernel, WC=r.WC, precise=precise),
+        functools.partial(_reduce_kernel, WC=r.WC),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * r.NB, C), yp.dtype),
         interpret=_interpret(),
@@ -413,11 +399,17 @@ def onehot_reduce(plans, y, precise=False):
     pallas call each): a single call at C=256 (a 64-member 3D ensemble)
     overflows the 16 MB scoped-vmem budget of the reduce blocks.
 
-    `precise` splits the payload hi/lo in bf16 to defeat the MXU's f32
-    operand truncation -- only meaningful on the real TPU: interpret mode
-    computes a full-f32 dot already, and the 2x16-bit split would be
-    strictly LESS accurate there."""
-    precise = precise and not _interpret()
+    `precise` defeats the MXU's f32-operand-to-bf16 truncation (~1e-3
+    relative, verified on-chip) by running the unchanged kernel TWICE on a
+    hi/lo payload split: both halves are bf16-valued f32 arrays, so the
+    MXU truncation is exact on each pass and the summed result carries
+    ~2^-16 relative error.  (Mosaic rejects bf16 dots inside the kernel,
+    and interpret mode's full-f32 dot needs no split -- it is skipped
+    there.)"""
+    if precise and not _interpret():
+        hi = y.astype(jnp.bfloat16).astype(y.dtype)
+        lo = y - hi
+        return onehot_reduce(plans, hi) + onehot_reduce(plans, lo)
     C0 = y.shape[1]
     C = _round_up(C0, 128)  # Mosaic DMA slices need 128-aligned lanes
     pad = max(plans.reduce_v.n_slots_pad, plans.reduce_e.n_slots_pad)
@@ -429,8 +421,8 @@ def onehot_reduce(plans, y, precise=False):
     parts = []
     for c0 in range(0, C, 128):
         ypc = jax.lax.slice_in_dim(yp, c0, c0 + 128, axis=1)
-        out_v = _onehot_reduce_region(plans.reduce_v, ypc, 128, precise)
-        out_e = _onehot_reduce_region(plans.reduce_e, ypc, 128, precise)
+        out_v = _onehot_reduce_region(plans.reduce_v, ypc, 128)
+        out_e = _onehot_reduce_region(plans.reduce_e, ypc, 128)
         parts.append(jnp.concatenate([out_v, out_e], axis=0))
     out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     return out[:, :C0]
