@@ -85,6 +85,7 @@ def measure():
             kind=precond, f_iters=f_iters, f_corr_iters=f_corr,
             s_iters=s_iters, s_solver=s_solver, f_solver=f_solver,
             low_precision=lowp,
+            mg2_form=os.environ.get("NS_BENCH_MG2", "v11"),
         ),
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk,
@@ -95,6 +96,7 @@ def measure():
             matmul_precision={
                 "default": None, "highest": "highest",
             }[os.environ.get("NS_BENCH_PRECISION", "highest")],
+            schur_agg=int(os.environ.get("NS_BENCH_SCHUR_AGG", "24")),
         ),
     )
     solver = NavierStokesSolver(mesh, Cylinder3DProblem(test_case=2), cfg)

@@ -70,6 +70,12 @@ class PrecondConfig:
     # (halves the gather traffic that dominates on TPU; the outer flexible
     # GMRES sees the preconditioner as a black box so accuracy is unaffected).
     low_precision: bool = False
+    # mg2 two-level form for the projection pressure Poisson: "v11"
+    # (symmetric multiplicative V(1,1); 2 extra S SpMVs per application)
+    # or "additive" (omega D^-1 r + coarse(r); zero S SpMVs, weaker but
+    # each Schur CG iteration drops from 3 to 1 row-rate-bound ELL
+    # gathers).  Both are SPD (CG-safe).
+    mg2_form: str = "v11"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +102,11 @@ class NumericsConfig:
     # ops/scatter.py HalvingPlan).  Same roundoff class; pick by
     # measurement on the target backend.
     reduce_plan: str = "table"
+    # Aggregate size of the two-level Schur coarse space (ops/coarse.py):
+    # n_p/agg coarse rows, dense-Cholesky-factorised per step.  Smaller
+    # aggregates = stronger coarse correction = fewer Schur CG iterations
+    # at a larger per-step factorisation.
+    schur_agg: int = 24
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

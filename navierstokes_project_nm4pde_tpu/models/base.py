@@ -152,7 +152,10 @@ class NavierStokesSolver:
         self.geom = cell_geometry(self.space)
         dtags = sorted(self.problem.dirichlet.keys())
         mask = self.space.dirichlet_mask(dtags)
-        self.op = ops.build_operator(self.space, self.geom, mask, dtype=self.dtype)
+        self.op = ops.build_operator(
+            self.space, self.geom, mask, dtype=self.dtype,
+            coarse_agg=cfg.numerics.schur_agg,
+        )
         if cfg.numerics.ensemble_onehot:
             import dataclasses as _dc
 
@@ -614,7 +617,10 @@ class NavierStokesSolver:
         semi-implicit scheme's own O(dt) linearisation error (the same
         linearisation as ref: src/NavierStokes2D.cpp:253).
         """
-        from navierstokes_project_nm4pde_tpu.ops.coarse import twolevel_apply
+        from navierstokes_project_nm4pde_tpu.ops.coarse import (
+            twolevel_apply,
+            twolevel_apply_additive,
+        )
         from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
             schur_ell_matvec,
         )
@@ -693,8 +699,19 @@ class NavierStokesSolver:
 
         inv_d = 1.0 / pst.schur_diag
 
-        def M2(v):
-            return twolevel_apply(op.coarse, (pst.schur_cho_L, True), S, inv_d, v)
+        if cfg.precond.mg2_form == "additive":
+
+            def M2(v):
+                return twolevel_apply_additive(
+                    op.coarse, (pst.schur_cho_L, True), inv_d, v
+                )
+
+        else:
+
+            def M2(v):
+                return twolevel_apply(
+                    op.coarse, (pst.schur_cho_L, True), S, inv_d, v
+                )
 
         # The Poisson solve meets the same ABSOLUTE target as the velocity
         # solve (that is exactly what the monolithic FGMRES enforces on the

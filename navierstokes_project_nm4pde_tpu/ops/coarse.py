@@ -84,7 +84,11 @@ def prolong(cs: CoarseSchur, rc: jax.Array, n_p: int) -> jax.Array:
 
 
 def twolevel_apply(cs: CoarseSchur, cho, S, inv_diag, r, omega=0.7, post=True):
-    """Multiplicative two-level application z ~ S^-1 r."""
+    """Multiplicative two-level application z ~ S^-1 r.
+
+    With post=True this is the symmetric V(1,1) (smooth, coarse, smooth)
+    -- SPD, safe as a CG preconditioner; post=False drops the symmetry
+    (only usable inside nonsymmetric outer solvers)."""
     z = omega * inv_diag * r
     r2 = r - S(z)
     zc = jax.scipy.linalg.cho_solve(cho, restrict(cs, r2))
@@ -92,3 +96,14 @@ def twolevel_apply(cs: CoarseSchur, cho, S, inv_diag, r, omega=0.7, post=True):
     if post:
         z = z + omega * inv_diag * (r - S(z))
     return z
+
+
+def twolevel_apply_additive(cs: CoarseSchur, cho, inv_diag, r, omega=0.7):
+    """ADDITIVE two-level application z = omega D^-1 r + R^T Sc^-1 R r.
+
+    Symmetric (CG-safe) like the V(1,1) form but with ZERO S SpMVs per
+    application -- on this backend every Schur CG iteration otherwise pays
+    three row-rate-bound ELL gathers (the CG matvec + the V-cycle's two
+    residuals), ~43 ms/iteration at 609k DoF (PERFORMANCE.md)."""
+    zc = jax.scipy.linalg.cho_solve(cho, restrict(cs, r))
+    return omega * inv_diag * r + prolong(cs, zc, r.shape[0])

@@ -131,6 +131,7 @@ def build_operator(
     dirichlet_mask: np.ndarray,
     dtype=jnp.float32,
     tables: RefTables | None = None,
+    coarse_agg: int = 24,
 ) -> NSOperator:
     dim = space.dim
     t = tables or build_ref_tables(dim)
@@ -157,7 +158,7 @@ def build_operator(
     # Divergence matrix in padded ELL (for Schur diagonals / SpMV).
     D_cols, D_vals = _assemble_divergence_ell(space, geom, t)
     schur = build_schur_ell(space, D_cols, D_vals, dtype=dtype)
-    coarse = build_coarse_schur(schur)
+    coarse = build_coarse_schur(schur, agg=coarse_agg)
 
     plan_u = build_gather_plan(
         space.cells_u, space.n_unodes, splits=(space.mesh.n_vertices,)
