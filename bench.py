@@ -85,7 +85,10 @@ def measure():
             kind=precond, f_iters=f_iters, f_corr_iters=f_corr,
             s_iters=s_iters, s_solver=s_solver, f_solver=f_solver,
             low_precision=lowp,
-            mg2_form=os.environ.get("NS_BENCH_MG2", "v11"),
+            # additive: zero S SpMVs per preconditioner application --
+            # measured 0.970 vs 0.814 steps/s at 609k (the Schur CG pays
+            # 1 ELL gather per iteration instead of 3).
+            mg2_form=os.environ.get("NS_BENCH_MG2", "additive"),
         ),
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk,
