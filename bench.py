@@ -33,10 +33,11 @@ def measure():
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
     restart = int(os.environ.get("NS_BENCH_RESTART", "20"))
-    # Cap outer iterations: warm steps need ~9-15, but the impulsive first
-    # chunk would otherwise run to maxiter and past the ~2 min device
-    # watchdog at >=600k DoF (kills the TPU worker).
-    maxiter = int(os.environ.get("NS_BENCH_MAXITER", "40"))
+    # Cap outer iterations: the impulsive first chunk would otherwise run
+    # far past the warm counts (and the ~2 min device watchdog at >=600k
+    # DoF).  60 leaves the additive-Schur CG headroom -- at 40 the first
+    # timed steps at 965k capped the Poisson solve.
+    maxiter = int(os.environ.get("NS_BENCH_MAXITER", "60"))
     lowp = os.environ.get("NS_BENCH_LOWP", "0") == "1"
     s_solver = os.environ.get("NS_BENCH_S_SOLVER", "mg2_cg")
     f_solver = os.environ.get("NS_BENCH_F_SOLVER", "gmres")
