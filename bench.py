@@ -27,8 +27,11 @@ def measure():
     lc = float(os.environ.get("NS_BENCH_LC", "0.024"))
     nz = int(os.environ.get("NS_BENCH_NZ", "14"))  # 965k DoF (the metric's ~1M)
     n_steps = int(os.environ.get("NS_BENCH_STEPS", "10"))
-    chunk = int(os.environ.get("NS_BENCH_CHUNK", "2"))  # short chunks: the
-    # device runtime kills programs running longer than ~2 minutes
+    # Chunk length trades the ~0.85 s tunneled per-dispatch overhead
+    # (measured: 0.970 -> 1.337 steps/s at 609k going 2 -> 6) against the
+    # ~2 min device watchdog; keep n_steps a MULTIPLE of chunk or the odd
+    # remainder compiles inside the timed run.  10x10 = one timed program.
+    chunk = int(os.environ.get("NS_BENCH_CHUNK", "10"))
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
