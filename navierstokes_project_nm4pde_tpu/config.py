@@ -107,6 +107,22 @@ class NumericsConfig:
     # aggregates = stronger coarse correction = fewer Schur CG iterations
     # at a larger per-step factorisation.
     schur_agg: int = 24
+    # Projection-stepper Schur handling: the pressure-Poisson operator
+    # S~ = D diag(M/dt_eff)^-1 D^T is TIME-INDEPENDENT up to the dt_eff
+    # scale factor (M and the Dirichlet mask never change).  "frozen"
+    # assembles S1 = D diag(M)^-1 D^T and its coarse correction ONCE at
+    # setup and solves the rescaled system S1 phi = rhs/dt_eff each step
+    # (identical solution; saves the per-step ELL assembly + coarse
+    # factorisation and allows arbitrarily expensive one-time setup).
+    # "step" rebuilds per step (the round-2 behavior; kept for A/B).
+    proj_schur: str = "frozen"
+    # How the two-level coarse system is solved per CG iteration:
+    # "chol" back-substitutes the (per-step or frozen) dense Cholesky
+    # factor; "inv" precomputes the explicit dense inverse ONCE so each
+    # application is a single [nc, nc] matmul -- MXU-friendly and
+    # independent of nc, which makes much smaller aggregates (stronger
+    # coarse spaces) affordable.  "inv" requires proj_schur="frozen".
+    coarse_solve: str = "chol"
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

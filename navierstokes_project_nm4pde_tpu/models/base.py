@@ -89,6 +89,24 @@ class State:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class FrozenSchur:
+    """One-time (setup) data for the projection pressure Poisson.
+
+    In projection mode S~ = D diag(M/dt_eff)^-1 D^T = dt_eff * S1 with S1
+    time-independent (M, D, and the Dirichlet mask never change), so the
+    scaled system S1 phi = rhs / dt_eff is solved instead -- identical
+    solution, zero per-step Schur assembly/factorisation, and the one-time
+    setup can afford a strong coarse correction (dense inverse)."""
+
+    inv1: jax.Array  # [n_unodes] (1/diagM on free nodes, 0 constrained)
+    vals1: jax.Array  # [n_slots] S1 ELL values
+    diag1: jax.Array  # [n_p]
+    cho_L: jax.Array | None  # coarse Cholesky factor (coarse_solve="chol")
+    inv_c: jax.Array | None  # dense coarse inverse (coarse_solve="inv")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class DeviceData:
     """All device arrays a time step touches, bundled as one pytree.
 
@@ -112,6 +130,9 @@ class DeviceData:
     # convection-free F (None unless a smoother needs it) -- replaces the
     # per-step power iteration (6 F-applies/step) in build_precond_state.
     f_lam0: object = None
+    # Frozen projection-mode Schur data (None in monolithic mode or with
+    # numerics.proj_schur == "step").
+    proj_schur: "FrozenSchur | None" = None
 
 
 @jax.tree_util.register_dataclass
@@ -319,7 +340,15 @@ class NavierStokesSolver:
         # bound, and the extra jitted program costs a ~1-2 min remote
         # compile in every TPU solver setup.
         if cfg.precond.f_solver in ("richardson", "chebyshev", "pmg"):
-            op, nu, dt = self.op, self.problem.nu, cfg.time.dt
+            op, nu = self.op, self.problem.nu
+            # Bound the spectrum at the dt the WARM steps actually solve
+            # with: BDF2's velocity block is F = M/dt_eff + ... with
+            # dt_eff = 2dt/3 after step 0 (more mass-dominated, hence a
+            # larger Jacobi-scaled lam_max) -- bounding at dt under-damps
+            # every warm step (advisor finding, round 2).
+            dt = cfg.time.dt
+            if cfg.time.scheme == "bdf2":
+                dt = dt / 1.5
             n, d = self.space.n_unodes, self.space.dim
             mask = op.dirichlet_mask
             dF = ops.diag_F(op, nu, dt, None)
@@ -356,6 +385,44 @@ class NavierStokesSolver:
             else:
                 self._f_lam0 = jax.jit(_power)(op, minv, mask)
 
+        # Frozen projection Schur: assemble S1 = D diag(M)^-1 D^T and its
+        # coarse correction ONCE (see FrozenSchur).  The per-step solve
+        # rescales the rhs by 1/dt_eff instead of the values by dt_eff.
+        self._proj_schur = None
+        if (
+            cfg.time.stepper == "projection"
+            and cfg.numerics.proj_schur == "frozen"
+        ):
+            from navierstokes_project_nm4pde_tpu.ops.coarse import (
+                coarse_factor,
+                coarse_inverse,
+            )
+            from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
+                assemble_schur_values,
+                schur_ell_diag,
+            )
+
+            want_inv = cfg.numerics.coarse_solve == "inv"
+
+            def _frozen(op_):
+                inv1 = jnp.where(op_.dirichlet_mask, 0.0, 1.0 / op_.diagM)
+                vals1 = assemble_schur_values(op_.schur, inv1)
+                diag1 = schur_ell_diag(op_.schur, vals1)
+                diag1 = jnp.where(diag1 > 0, diag1, 1.0)
+                cho_L = inv_c = None
+                if want_inv:
+                    inv_c = coarse_inverse(op_.coarse, vals1)
+                else:
+                    cho_L = coarse_factor(op_.coarse, vals1)[0]
+                return FrozenSchur(
+                    inv1=inv1, vals1=vals1, diag1=diag1,
+                    cho_L=cho_L, inv_c=inv_c,
+                )
+
+            # op as an ARGUMENT (closure constants blow the compile payload
+            # past backend limits at scale; see DeviceData docstring).
+            self._proj_schur = jax.jit(_frozen)(self.op)
+
         self._rebuild_device_data()
 
     def _rebuild_device_data(self):
@@ -374,6 +441,7 @@ class NavierStokesSolver:
             probe=self.probe,
             ftab=self._ftab,
             f_lam0=getattr(self, "_f_lam0", None),
+            proj_schur=getattr(self, "_proj_schur", None),
         )
 
     # ------------------------------------------------------------------
@@ -618,8 +686,10 @@ class NavierStokesSolver:
         linearisation as ref: src/NavierStokes2D.cpp:253).
         """
         from navierstokes_project_nm4pde_tpu.ops.coarse import (
-            twolevel_apply,
-            twolevel_apply_additive,
+            cho_solve_c,
+            inv_solve_c,
+            twolevel_apply_additive_g,
+            twolevel_apply_g,
         )
         from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
             schur_ell_matvec,
@@ -634,10 +704,11 @@ class NavierStokesSolver:
         w, hist, dt_eff = self._bdf_terms(state, dt)
         fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
         conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
+        fz = dev.proj_schur
         pst = build_precond_state(
             op, nu, dt_eff, conv, "yosida",
             s_solver="mg2", f_solver=cfg.precond.f_solver,
-            f_lam=dev.f_lam0,
+            f_lam=dev.f_lam0, skip_schur=fz is not None,
         )
         mask = op.dirichlet_mask
         n, d = self.space.n_unodes, self.space.dim
@@ -693,25 +764,36 @@ class NavierStokesSolver:
         # M du/dt_eff + G phi = 0 and D(u* + du) = 0 with G = -D^T give
         # S~ phi = -D u* with S~ = D diag(M/dt_eff)^-1 D^T.
         rhs_p = -ops.apply_divergence(op, u_star)
+        if fz is not None:
+            # S~ = dt_eff * S1 with S1 frozen at setup: solve the rescaled
+            # system S1 phi = rhs / dt_eff (identical phi; the tolerance
+            # below is computed on the scaled rhs so it rescales with it).
+            rhs_p = rhs_p / dt_eff
+            s_vals, s_diag = fz.vals1, fz.diag1
+            solve_c = (
+                inv_solve_c(fz.inv_c) if fz.inv_c is not None
+                else cho_solve_c((fz.cho_L, True))
+            )
+            upd_inv = dt_eff * fz.inv1  # diag(M/dt_eff)^-1 on free nodes
+        else:
+            s_vals, s_diag = pst.schur_vals, pst.schur_diag
+            solve_c = cho_solve_c((pst.schur_cho_L, True))
+            upd_inv = pst.schur_inv
 
         def S(pv):
-            return schur_ell_matvec(op.schur, pst.schur_vals, pv)
+            return schur_ell_matvec(op.schur, s_vals, pv)
 
-        inv_d = 1.0 / pst.schur_diag
+        inv_d = 1.0 / s_diag
 
         if cfg.precond.mg2_form == "additive":
 
             def M2(v):
-                return twolevel_apply_additive(
-                    op.coarse, (pst.schur_cho_L, True), inv_d, v
-                )
+                return twolevel_apply_additive_g(op.coarse, solve_c, inv_d, v)
 
         else:
 
             def M2(v):
-                return twolevel_apply(
-                    op.coarse, (pst.schur_cho_L, True), S, inv_d, v
-                )
+                return twolevel_apply_g(op.coarse, solve_c, S, inv_d, v)
 
         # The Poisson solve meets the same ABSOLUTE target as the velocity
         # solve (that is exactly what the monolithic FGMRES enforces on the
@@ -728,6 +810,10 @@ class NavierStokesSolver:
         from navierstokes_project_nm4pde_tpu.solvers.krylov import _norm
 
         rp_norm = _norm(rhs_p, cfg.numerics.precise_dots)
+        # In the frozen path the system is rescaled by 1/dt_eff, so any
+        # ABSOLUTE target must rescale with it (rp_norm already did, since
+        # rhs_p was divided above); relative targets are scale-invariant.
+        a_scale = 1.0 / dt_eff if fz is not None else 1.0
         if tol_kw.get("tol_mode") == "abs":
             # fgmres's "abs" convention carries the target in BOTH slots
             # (tol = max(rtol * 1, atol)): _tol_kwargs puts it in atol for
@@ -738,11 +824,12 @@ class NavierStokesSolver:
                 jnp.asarray(tol_kw["rtol"], rhs_p.dtype), tol_kw["atol"]
             )
             s_rtol = 0.0
-            s_atol = jnp.minimum(abs_target, 0.1 * rp_norm)
+            s_atol = jnp.minimum(abs_target * a_scale, 0.1 * rp_norm)
         else:
             s_rtol = cfg.solver.rtol
             s_atol = jnp.minimum(
-                jnp.asarray(cfg.solver.atol, rhs_p.dtype), 0.1 * rp_norm
+                jnp.asarray(cfg.solver.atol, rhs_p.dtype) * a_scale,
+                0.1 * rp_norm,
             )
         # warm start: the previous pressure increment (phi_n ~ p_n - p_{n-1})
         phi0 = p_guess - state.p
@@ -758,9 +845,9 @@ class NavierStokesSolver:
         )
 
         # ---- 3. update --------------------------------------------------
-        # du = -dt_eff diag(M)^-1 G phi = -schur_inv * (G phi) on free nodes
+        # du = -dt_eff diag(M)^-1 G phi = -upd_inv * (G phi) on free nodes
         p_new = state.p + phi
-        u_new = u_star - pst.schur_inv[:, None] * ops.apply_gradient(op, phi)
+        u_new = u_star - upd_inv[:, None] * ops.apply_gradient(op, phi)
 
         keep_hist = cfg.time.scheme == "bdf2" or cfg.solver.extrapolate_guess
         new_state = State(

@@ -62,15 +62,29 @@ def build_coarse_schur(schur, agg: int = 24) -> CoarseSchur:
     return CoarseSchur(plan=plan, nc=nc, agg=agg, n_pad=nc * agg)
 
 
-def coarse_factor(cs: CoarseSchur, vals_flat: jax.Array):
-    """Per-step dense coarse matrix + Cholesky factor from S~'s flat values."""
+def coarse_dense(cs: CoarseSchur, vals_flat: jax.Array) -> jax.Array:
+    """Dense coarse matrix Sc = R S~ R^T from S~'s flat ELL values,
+    symmetrised and Tikhonov-shifted for the constant null space."""
     sc = apply_gather_plan(cs.plan, vals_flat[:, None])[:, 0]
     Sc = sc.reshape(cs.nc, cs.nc)
-    # symmetrise (roundoff) + Tikhonov shift for the constant null space
     Sc = 0.5 * (Sc + Sc.T)
     shift = 1e-6 * jnp.trace(Sc) / cs.nc
-    Sc = Sc + shift * jnp.eye(cs.nc, dtype=Sc.dtype)
-    return jax.scipy.linalg.cho_factor(Sc, lower=True)
+    return Sc + shift * jnp.eye(cs.nc, dtype=Sc.dtype)
+
+
+def coarse_factor(cs: CoarseSchur, vals_flat: jax.Array):
+    """Per-step dense coarse matrix + Cholesky factor from S~'s flat values."""
+    return jax.scipy.linalg.cho_factor(coarse_dense(cs, vals_flat), lower=True)
+
+
+def coarse_inverse(cs: CoarseSchur, vals_flat: jax.Array) -> jax.Array:
+    """Explicit dense inverse of the coarse matrix (one-time setup for the
+    frozen projection Schur operator): each application becomes a single
+    [nc, nc] matmul on the MXU instead of two sequential triangular solves,
+    so large coarse spaces (small aggregates) stay cheap per iteration."""
+    cho = jax.scipy.linalg.cho_factor(coarse_dense(cs, vals_flat), lower=True)
+    eye = jnp.eye(cs.nc, dtype=vals_flat.dtype)
+    return jax.scipy.linalg.cho_solve(cho, eye)
 
 
 def restrict(cs: CoarseSchur, r: jax.Array) -> jax.Array:
@@ -83,27 +97,51 @@ def prolong(cs: CoarseSchur, rc: jax.Array, n_p: int) -> jax.Array:
     return jnp.repeat(rc, cs.agg)[:n_p]
 
 
-def twolevel_apply(cs: CoarseSchur, cho, S, inv_diag, r, omega=0.7, post=True):
-    """Multiplicative two-level application z ~ S^-1 r.
+def twolevel_apply_g(cs: CoarseSchur, solve_c, S, inv_diag, r, omega=0.7,
+                     post=True):
+    """Multiplicative two-level application z ~ S^-1 r with a generic
+    coarse solve `solve_c(rc) -> zc`.
 
     With post=True this is the symmetric V(1,1) (smooth, coarse, smooth)
     -- SPD, safe as a CG preconditioner; post=False drops the symmetry
     (only usable inside nonsymmetric outer solvers)."""
     z = omega * inv_diag * r
     r2 = r - S(z)
-    zc = jax.scipy.linalg.cho_solve(cho, restrict(cs, r2))
+    zc = solve_c(restrict(cs, r2))
     z = z + prolong(cs, zc, r.shape[0])
     if post:
         z = z + omega * inv_diag * (r - S(z))
     return z
 
 
-def twolevel_apply_additive(cs: CoarseSchur, cho, inv_diag, r, omega=0.7):
+def twolevel_apply_additive_g(cs: CoarseSchur, solve_c, inv_diag, r,
+                              omega=0.7):
     """ADDITIVE two-level application z = omega D^-1 r + R^T Sc^-1 R r.
 
     Symmetric (CG-safe) like the V(1,1) form but with ZERO S SpMVs per
     application -- on this backend every Schur CG iteration otherwise pays
     three row-rate-bound ELL gathers (the CG matvec + the V-cycle's two
     residuals), ~43 ms/iteration at 609k DoF (PERFORMANCE.md)."""
-    zc = jax.scipy.linalg.cho_solve(cho, restrict(cs, r))
+    zc = solve_c(restrict(cs, r))
     return omega * inv_diag * r + prolong(cs, zc, r.shape[0])
+
+
+def cho_solve_c(cho):
+    """Coarse solve from a dense Cholesky factor (two triangular solves)."""
+    return lambda rc: jax.scipy.linalg.cho_solve(cho, rc)
+
+
+def inv_solve_c(Sc_inv):
+    """Coarse solve from a precomputed dense inverse: one [nc, nc] matvec
+    on the MXU -- per-application cost independent of the factor structure,
+    which makes much smaller aggregates (stronger coarse spaces) affordable
+    when the operator is frozen (projection mode)."""
+    return lambda rc: Sc_inv @ rc
+
+
+def twolevel_apply(cs: CoarseSchur, cho, S, inv_diag, r, omega=0.7, post=True):
+    return twolevel_apply_g(cs, cho_solve_c(cho), S, inv_diag, r, omega, post)
+
+
+def twolevel_apply_additive(cs: CoarseSchur, cho, inv_diag, r, omega=0.7):
+    return twolevel_apply_additive_g(cs, cho_solve_c(cho), inv_diag, r, omega)

@@ -93,7 +93,12 @@ def build_precond_state(
     s_solver: str = "cg",
     f_solver: str = "gmres",
     f_lam: jax.Array | None = None,
+    skip_schur: bool = False,
 ) -> PrecondState:
+    """`skip_schur=True` skips the per-step S~ ELL assembly and coarse
+    factorisation (the projection stepper's frozen-Schur path provides
+    those once at setup; models/base.py) -- only the velocity-block
+    diagonals and `schur_inv` (needed by the velocity update) are built."""
     mask = op.dirichlet_mask
     dF = ops.diag_F(op, nu, dt, conv)
     diag_Fhat = jnp.where(mask, 1.0, dF)
@@ -109,6 +114,28 @@ def build_precond_state(
     else:
         # SIMPLE family: diag(F)^-1 (ref: Preconditioners.hpp:135-144)
         schur_inv = inv_diag_free
+
+    if skip_schur:
+        one = jnp.ones((), schur_inv.dtype)
+        schur_vals = None
+        schur_diag = one
+        lam_max = 2.0 * one
+        cho_L = None
+        f_lam = _f_lam_bound(
+            op, nu, dt, conv, f_solver, f_lam, inv_diag_Fhat, mask, one.dtype
+        )
+        return PrecondState(
+            diag_Fhat=diag_Fhat,
+            inv_diag_Fhat=inv_diag_Fhat,
+            inv_diag_free=inv_diag_free,
+            schur_inv=schur_inv,
+            schur_vals=schur_vals,
+            schur_diag=schur_diag,
+            schur_lam_max=lam_max,
+            schur_cho_L=cho_L,
+            f_lam_max=f_lam,
+            conv=conv,
+        )
 
     # Assemble S~ explicitly in its small pressure-space ELL pattern
     # (the reference's per-step mmult; ref: Preconditioners.hpp:144,248).
@@ -133,29 +160,10 @@ def build_precond_state(
     else:
         cho_L = None
 
-    if f_lam is not None:
-        # Setup-time spectral bound (power iteration on the convection-free
-        # F, see NavierStokesSolver._setup) with a margin for the per-step
-        # convection perturbation -- saves 6 F-applies every step vs the
-        # per-step power iteration below.
-        f_lam = 1.1 * f_lam
-    elif f_solver in ("richardson", "chebyshev", "pmg"):
-        # lam_max of diag(F)^-1 F: the P2 mass block alone already exceeds 2
-        # (P2 mass matrices are not diagonally dominant), so a fixed damping
-        # diverges -- estimate per step and damp by 1/lam_max.
-        n, d = op.n_unodes, op.dim
-
-        def Fj(v):
-            u = v.reshape(n, d)
-            y = ops.apply_F(op, nu, dt, conv, u)
-            y = jnp.where(mask[:, None], u, y)
-            return y.reshape(-1)
-
-        minv = inv_diag_Fhat[:, None].repeat(d, axis=1).reshape(-1)
-        v0 = jnp.sin(jnp.arange(n * d, dtype=schur_diag.dtype))
-        f_lam = power_lambda_max(Fj, lambda v: minv * v, v0, iters=6)
-    else:
-        f_lam = jnp.asarray(2.0, schur_diag.dtype)
+    f_lam = _f_lam_bound(
+        op, nu, dt, conv, f_solver, f_lam, inv_diag_Fhat, mask,
+        schur_diag.dtype,
+    )
     return PrecondState(
         diag_Fhat=diag_Fhat,
         inv_diag_Fhat=inv_diag_Fhat,
@@ -168,6 +176,40 @@ def build_precond_state(
         f_lam_max=f_lam,
         conv=conv,
     )
+
+
+def _f_lam_bound(op, nu, dt, conv, f_solver, f_lam, inv_diag_Fhat, mask, dtype):
+    """Spectral bound lam_max(diag(F)^-1 F) for the damped smoothers.
+
+    With a setup-time `f_lam` (power iteration on the convection-free F at
+    the warm-step dt_eff; NavierStokesSolver._setup) the per-step cost is a
+    margin plus a Gershgorin-style bump for the convection perturbation:
+    |lam(D^-1(F0+C)) - lam(D^-1 F0)| is not bounded by the diagonal of C
+    alone, but max|diagC|/diagF tracks the perturbation scale and the
+    smoothers only need a safe upper bound (under-damping stalls; modest
+    over-damping costs a few percent)."""
+    if f_lam is not None:
+        f_lam = 1.1 * f_lam
+        if conv is not None:
+            bump = jnp.max(jnp.abs(conv.diagC) * inv_diag_Fhat)
+            f_lam = f_lam + 2.0 * bump
+        return f_lam
+    if f_solver in ("richardson", "chebyshev", "pmg"):
+        # lam_max of diag(F)^-1 F: the P2 mass block alone already exceeds 2
+        # (P2 mass matrices are not diagonally dominant), so a fixed damping
+        # diverges -- estimate per step and damp by 1/lam_max.
+        n, d = op.n_unodes, op.dim
+
+        def Fj(v):
+            u = v.reshape(n, d)
+            y = ops.apply_F(op, nu, dt, conv, u)
+            y = jnp.where(mask[:, None], u, y)
+            return y.reshape(-1)
+
+        minv = inv_diag_Fhat[:, None].repeat(d, axis=1).reshape(-1)
+        v0 = jnp.sin(jnp.arange(n * d, dtype=dtype))
+        return power_lambda_max(Fj, lambda v: minv * v, v0, iters=6)
+    return jnp.asarray(2.0, dtype)
 
 
 # ----------------------------------------------------------------------

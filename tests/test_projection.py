@@ -111,6 +111,40 @@ def test_splitting_error_is_first_order_in_dt():
     assert gaps[1] < 0.45 * gaps[0], gaps  # >= first order in dt
 
 
+def test_frozen_schur_matches_per_step():
+    """proj_schur="frozen" (setup-once S1, rescaled rhs) must reproduce the
+    per-step-assembled Schur path: the operators are identical up to the
+    dt_eff scale, which CG is invariant to under relative tolerances.  Also
+    covers coarse_solve="inv" (dense coarse inverse vs Cholesky solves)."""
+    import dataclasses
+
+    mesh = cylinder_channel_2d(lc=0.1)
+    base = make_config("projection", dt=0.01, t_end=0.04, rtol=1e-11, chunk=4)
+    results = {}
+    for name, proj_schur, coarse_solve in (
+        ("step", "step", "chol"),
+        ("frozen", "frozen", "chol"),
+        ("frozen_inv", "frozen", "inv"),
+    ):
+        cfg = dataclasses.replace(
+            base,
+            numerics=dataclasses.replace(
+                base.numerics, proj_schur=proj_schur, coarse_solve=coarse_solve
+            ),
+        )
+        s = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, diags = s.run(4)
+        results[name] = (np.asarray(state.u), np.asarray(state.p), diags)
+        if proj_schur == "frozen":
+            assert s._dev.proj_schur is not None
+            assert (s._dev.proj_schur.inv_c is None) == (coarse_solve == "chol")
+    u0, p0, _ = results["step"]
+    for name in ("frozen", "frozen_inv"):
+        u, p, _ = results[name]
+        assert np.linalg.norm(u - u0) / np.linalg.norm(u0) < 1e-6, name
+        assert np.linalg.norm(p - p0) / np.linalg.norm(p0) < 1e-6, name
+
+
 def test_projection_vmaps_over_viscosity():
     """The projection step must stay ensemble-compatible (nu traced)."""
     from navierstokes_project_nm4pde_tpu.parallel import run_ensemble
