@@ -95,6 +95,11 @@ def _common_flags(p, dt, t_end, precond):
     p.add_argument("--output-every", type=int, default=0, help="VTU cadence (0=off)")
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--resume", type=str, default=None, help="checkpoint to resume from")
+    p.add_argument("--shard-cells", type=int, default=0,
+                   help="shard the element batch over N devices (domain "
+                        "decomposition; 0 = single device).  VTU snapshots "
+                        "gain the reference's `partitioning` subdomain field "
+                        "(ref: src/NavierStokes2D.cpp:662-665)")
 
 
 def _run_cylinder(args, dim: int):
@@ -142,6 +147,19 @@ def _run_cylinder(args, dim: int):
         f"DoFs: velocity={sp.n_udofs} pressure={sp.n_pnodes} total={sp.n_dofs}"
     )
 
+    cell_part = None
+    if getattr(args, "shard_cells", 0):
+        from navierstokes_project_nm4pde_tpu.parallel import (
+            cell_partitioning,
+            make_device_mesh,
+            shard_solver,
+        )
+
+        dev_mesh = make_device_mesh(args.shard_cells)
+        shard_solver(solver, dev_mesh)
+        cell_part = cell_partitioning(solver, dev_mesh)
+        print(f"Sharded cells over {dev_mesh.devices.size} devices")
+
     out_dir = args.output_dir or f"output{dim}D"
     log = CSVLogger(out_dir)
     vtu_entries = []
@@ -165,7 +183,9 @@ def _run_cylinder(args, dim: int):
     # column hardcodes 0.1*1.5*sin(t pi/8)/1e-3 regardless of case and
     # viscosity, src/NavierStokes2D.cpp:622; this generalises it to the
     # run's actual inlet profile and nu.)
-    u_m2 = args.u_m if getattr(args, "u_m", None) else 1.5
+    # `is not None` (a truthiness test would treat an explicit --u-m 0 as
+    # unset; advisor finding, round 2)
+    u_m2 = args.u_m if getattr(args, "u_m", None) is not None else 1.5
     # 2D mean = 2 u_m / 3; 3D mean = 4 U_M / 9 with U_M = 9 (cylinder3d.py)
     base_mean = 2.0 * u_m2 / 3.0 if dim == 2 else 4.0
     ramped = (dim == 2 and args.test_case == 2) or (
@@ -173,13 +193,28 @@ def _run_cylinder(args, dim: int):
     )
 
     def inlet_mean_np(t):
+        t = np.asarray(t, dtype=float)
         if args.test_case == 1:
-            return np.zeros_like(np.asarray(t, dtype=float))
-        f = np.sin(np.pi * np.asarray(t, dtype=float) / 8.0) if ramped else 1.0
+            return np.zeros_like(t)
+        # always array-valued: scalar returns broke the Re column's
+        # .astype on non-ramped cases (3D case 2, the reference default)
+        f = np.sin(np.pi * t / 8.0) if ramped else np.ones_like(t)
         return base_mean * f
+
+    # Per-step wall-time columns (the reference logs time_prec/time_solve
+    # per step, ref: src/main2D.cpp:50-58).  Steps run fused inside one
+    # jitted chunk here, so: `time solve` = measured chunk wall / steps
+    # (includes the fused per-step preconditioner assembly); `time prec`
+    # carries the ONE-TIME preconditioner/solver setup on the first row
+    # and 0 after (this engine builds its Schur/coarse structures once at
+    # setup instead of re-initialising every step).
+    now0 = time.perf_counter()
+    clock = {"last": now0, "setup": now0 - t_total._t0}
 
     def callback(solver, state, diags):
         nonlocal cd_max, cl_min
+        now = time.perf_counter()
+        chunk_wall, clock["last"] = now - clock["last"], now
         k = len(diags.iters)
         steps = np.arange(done["n"] + 1, done["n"] + k + 1)
         times = steps * cfg.time.dt
@@ -188,9 +223,13 @@ def _run_cylinder(args, dim: int):
         re = (problem.diameter * inlet_mean_np(times) / problem.nu).astype(int)
         log.log_gmres(times, re, diags.iters)
         log.log_coefficients(steps, diags.c_d, diags.c_l)
+        t_prec = np.zeros(k)
+        if clock["setup"] is not None:
+            t_prec[0], clock["setup"] = clock["setup"], None
         log.log_forces(
             f"forces_results_{dim}D_{args.test_case}case.csv",
             times, diags.drag, diags.lift, diags.c_d, diags.c_l,
+            t_prec=t_prec, t_solve=np.full(k, chunk_wall / k),
         )
         # force extrema; 3D gates accumulation until t > 0.1
         # (ref: src/NavierStokes3D.cpp:728-733)
@@ -205,7 +244,10 @@ def _run_cylinder(args, dim: int):
         )
         if out_every and (done["n"] % out_every == 0 or done["n"] >= n_steps):
             path = os.path.join(out_dir, f"solution_{done['n']:06d}.vtu")
-            write_vtu(path, solver.space, np.asarray(state.u), np.asarray(state.p))
+            write_vtu(
+                path, solver.space, np.asarray(state.u), np.asarray(state.p),
+                partitioning=cell_part,
+            )
             vtu_entries.append((float(state.t), path))
         if args.checkpoint_every and done["n"] % args.checkpoint_every == 0:
             save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state)
@@ -347,7 +389,7 @@ def _run_ensemble(args):
         cl = bdiags.c_l[m]
         rows.append((re[m], nus[m], float(np.max(cd)), float(np.min(cl)),
                      float(bdiags.delta_p[m][-1])))
-    log._append(
+    log.log_table(
         "ensemble.csv", "Re,nu,cd_max,cl_min,delta_p_final", rows
     )
     print(f"Wrote {out_dir}/ensemble.csv; wall time {timer.stop():.1f}s")
@@ -373,7 +415,12 @@ def main(argv=None):
                          "constant mean (DFG 2D-2 validation)")
     p2.add_argument("--u-m", type=float, default=None,
                     help="peak inlet velocity (Re = (2/3) u_m D / nu); "
-                         "default 1.5 (Re=100); 3.0 gives Re=200")
+                         "default 1.5 (Re=100); 3.0 gives Re=200.  Note: "
+                         "the gmres.csv Re column and the Strouhal U use "
+                         "the run's TRUE time-dependent inlet mean, which "
+                         "for case 3 differs from the reference's "
+                         "hardcoded case-2 formula "
+                         "(ref: src/NavierStokes2D.cpp:622)")
 
     p3 = sub.add_parser("cylinder3d", help="DFG 3D flow past a cylinder")
     _common_flags(p3, dt=2e-4, t_end=4.0, precond="yosida")

@@ -59,6 +59,11 @@ class CSVLogger:
             zip(times, drag, lift, c_d, c_l, t_prec, t_solve),
         )
 
+    def log_table(self, name, header, rows):
+        """Generic CSV artifact (e.g. the ensemble Re-sweep summary -- a new
+        capability with no reference counterpart, so no fixed schema)."""
+        self._append(name, header, rows)
+
     def log_convergence(self, hs, e_l2, e_h1):
         """convergence.csv: h, eL2, eH1 (ref: src/main_convergence3D.cpp:43-61)."""
         self._append("convergence.csv", "h,eL2,eH1", zip(hs, e_l2, e_h1))

@@ -401,11 +401,11 @@ def onehot_reduce(plans, y, precise=False):
 
     `precise` defeats the MXU's f32-operand-to-bf16 truncation (~1e-3
     relative, verified on-chip) by running the unchanged kernel TWICE on a
-    hi/lo payload split: both halves are bf16-valued f32 arrays, so the
-    MXU truncation is exact on each pass and the summed result carries
-    ~2^-16 relative error.  (Mosaic rejects bf16 dots inside the kernel,
-    and interpret mode's full-f32 dot needs no split -- it is skipped
-    there.)"""
+    hi/lo payload split: hi is exactly bf16-valued so its pass is exact;
+    lo = y - hi retains up to 16 mantissa bits and is only truncated by a
+    further ~2^-8 relative on its pass, giving ~2^-16 combined error.
+    (Mosaic rejects bf16 dots inside the kernel, and interpret mode's
+    full-f32 dot needs no split -- it is skipped there.)"""
     if precise and not _interpret():
         hi = y.astype(jnp.bfloat16).astype(y.dtype)
         lo = y - hi

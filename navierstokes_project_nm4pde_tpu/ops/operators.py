@@ -361,6 +361,14 @@ class ConvectionData:
     # per F-apply at 609k DoF (the chain's q-space intermediates round-trip
     # HBM).  Costs ~400 B/cell; built per step when fold=(nu, dt) is passed.
     F_e: jax.Array | None = None
+    # The concrete (nu, dt) the fold was built for, when both were Python
+    # numbers at fold time (None when either was traced, e.g. vmapped nu or
+    # BDF2's dt_eff).  apply_F/apply_system verify their arguments against
+    # it so a folded ConvectionData cannot silently apply the wrong
+    # operator (advisor finding, round 2).
+    fold_static: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
 
 def convection_setup(
@@ -401,6 +409,7 @@ def convection_setup(
         diagC = diagC + apply_gather_plan(backflow.plan, d_f.reshape(-1))
 
     F_e = None
+    fold_static = None
     if fold is not None:
         nu, dt = fold
         F_e = op.MHAT[None] * (op.detJ / dt)[:, None, None]
@@ -409,8 +418,11 @@ def convection_setup(
             "q,qi,eqj->eij", op.W, op.PHI_U,
             WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
         ) * op.detJ[:, None, None]
+        if isinstance(nu, (int, float)) and isinstance(dt, (int, float)):
+            fold_static = (float(nu), float(dt))
     return ConvectionData(
-        WG=WG, divw=divw, diagC=diagC, bf=backflow, bf_coef=bf_coef, F_e=F_e
+        WG=WG, divw=divw, diagC=diagC, bf=backflow, bf_coef=bf_coef, F_e=F_e,
+        fold_static=fold_static,
     )
 
 
@@ -440,7 +452,9 @@ def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -
         u_e = u_e.astype(op.MHAT.dtype)
     if conv is not None and conv.F_e is not None:
         # Folded fast path: conv.F_e was built for THIS (nu, dt) by
-        # convection_setup(..., fold=(nu, dt)) -- caller contract.
+        # convection_setup(..., fold=(nu, dt)) -- caller contract,
+        # verified whenever both sides are concrete.
+        _check_fold(conv, nu, dt)
         y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
     else:
         y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
@@ -468,6 +482,23 @@ def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -
     return y
 
 
+def _check_fold(conv: ConvectionData, nu, dt) -> None:
+    """Raise if a folded ConvectionData is applied with a different concrete
+    (nu, dt) than it was built for (silent wrong-operator guard)."""
+    if conv.fold_static is None:
+        return
+    if not (isinstance(nu, (int, float)) and isinstance(dt, (int, float))):
+        return  # traced values: cannot compare at trace time
+    fnu, fdt = conv.fold_static
+    if abs(float(nu) - fnu) > 1e-12 * max(1.0, abs(fnu)) or (
+        abs(float(dt) - fdt) > 1e-12 * max(1.0, abs(fdt))
+    ):
+        raise ValueError(
+            f"folded ConvectionData was built for (nu={fnu}, dt={fdt}) but "
+            f"applied with (nu={nu}, dt={dt}); rebuild via convection_setup"
+        )
+
+
 def diag_F(op: NSOperator, nu, dt, conv: ConvectionData | None) -> jax.Array:
     d = op.diagM / dt + nu * op.diagA
     if conv is not None:
@@ -489,6 +520,7 @@ def apply_system(op: NSOperator, nu, dt, conv, u, p, mask_rows: bool = True):
     p_e = gather_p(op, p)
     # F part (folded fast path when conv.F_e matches this (nu, dt))
     if conv is not None and conv.F_e is not None:
+        _check_fold(conv, nu, dt)
         y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
     else:
         y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]

@@ -1,4 +1,5 @@
 from navierstokes_project_nm4pde_tpu.parallel.sharding import (  # noqa: F401
+    cell_partitioning,
     make_device_mesh,
     shard_solver,
 )

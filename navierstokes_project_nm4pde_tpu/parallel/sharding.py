@@ -111,5 +111,20 @@ def shard_solver(solver, mesh: Mesh):
         solver._ftab = repl_tree(solver._ftab)
     if getattr(solver, "_neumann_plan", None) is not None:
         solver._neumann_plan = repl_tree(solver._neumann_plan)
+    if getattr(solver, "_proj_schur", None) is not None:
+        solver._proj_schur = repl_tree(solver._proj_schur)
+    if getattr(solver, "_f_lam0", None) is not None:
+        solver._f_lam0 = jax.device_put(solver._f_lam0, repl)
     solver._rebuild_device_data()
     return solver
+
+
+def cell_partitioning(solver, mesh: Mesh) -> np.ndarray:
+    """Per-cell owning-device ids for the sharded element batch (the VTU
+    `partitioning` field, mirroring the reference's subdomain output;
+    ref: src/NavierStokes2D.cpp:662-665).  Matches GSPMD's contiguous
+    block layout of the padded cell axis."""
+    n_dev = mesh.devices.size
+    e_pad = solver.op.n_cells  # padded to a multiple of n_dev
+    block = e_pad // n_dev
+    return np.arange(solver.mesh.n_cells) // block

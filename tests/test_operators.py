@@ -168,6 +168,33 @@ def test_apply_F_consistency(setup):
     )
 
 
+def test_folded_F_matches_unfolded(setup):
+    """The fold algebra: convection_setup(fold=(nu, dt)) bakes
+    F_e = detJ/dt M^ + nu GKd:A^ + C_e(w) so apply_F/apply_system via the
+    single batched matmul must equal the unfolded 5-einsum chain."""
+    space, geom, op = setup
+    rng = np.random.default_rng(7)
+    wf = rng.normal(size=(space.n_unodes, space.dim))
+    u = rng.normal(size=(space.n_unodes, space.dim))
+    p = rng.normal(size=space.n_pnodes)
+    nu, dt = 0.01, 0.05
+    conv0 = ops.convection_setup(op, jnp.asarray(wf))
+    convf = ops.convection_setup(op, jnp.asarray(wf), fold=(nu, dt))
+    assert convf.F_e is not None and convf.fold_static == (nu, dt)
+    np.testing.assert_allclose(
+        np.asarray(ops.apply_F(op, nu, dt, convf, jnp.asarray(u))),
+        np.asarray(ops.apply_F(op, nu, dt, conv0, jnp.asarray(u))),
+        rtol=1e-9, atol=1e-11,
+    )
+    yu_f, yp_f = ops.apply_system(op, nu, dt, convf, jnp.asarray(u), jnp.asarray(p))
+    yu_0, yp_0 = ops.apply_system(op, nu, dt, conv0, jnp.asarray(u), jnp.asarray(p))
+    np.testing.assert_allclose(np.asarray(yu_f), np.asarray(yu_0), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(yp_f), np.asarray(yp_0), rtol=1e-9, atol=1e-11)
+    # wrong-(nu, dt) application is refused (silent wrong-operator guard)
+    with pytest.raises(ValueError, match="folded ConvectionData"):
+        ops.apply_F(op, nu, 2 * dt, convf, jnp.asarray(u))
+
+
 def test_schur(setup):
     space, geom, op = setup
     M, A, D, Mp = dense_blocks(space)

@@ -88,6 +88,41 @@ def test_sharded_full_step_matches():
     )
 
 
+def test_sharded_batch_ensemble_matches_unsharded():
+    """B=8 ensemble sharded one-member-per-device vs the same ensemble
+    unsharded (the BASELINE v5p-8 composition: vmapped members distributed
+    over the batch mesh axis with no cross-member communication)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = cylinder_channel_2d(lc=0.12)
+    cfg = make_config(
+        time=TimeConfig(dt=0.01, t_end=0.03, stepper="projection"),
+        precond=PrecondConfig(kind="yosida", f_iters=4, s_iters=30,
+                              s_solver="mg2_cg"),
+        numerics=NumericsConfig(
+            dtype="float64", precise_dots=False, steps_per_chunk=3
+        ),
+    )
+    solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+    nus = np.linspace(1e-3, 8e-3, 8)
+    bstate0, bdiags0 = run_ensemble(solver, nus, n_steps=3)
+    sharding = NamedSharding(
+        Mesh(np.array(jax.devices()), ("batch",)), P("batch")
+    )
+    bstate1, bdiags1 = run_ensemble(solver, nus, n_steps=3, sharding=sharding)
+    # the batch axis really is distributed
+    assert len(bstate1.u.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(bstate1.u), np.asarray(bstate0.u), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(bstate1.p), np.asarray(bstate0.p), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bdiags1.iters), np.asarray(bdiags0.iters)
+    )
+
+
 def test_ensemble_vmap_matches_sequential():
     mesh = cylinder_channel_2d(lc=0.1)
     cfg = make_config(
