@@ -38,12 +38,13 @@ def _budget() -> float:
 def measure():
     lc = float(os.environ.get("NS_BENCH_LC", "0.024"))
     nz = int(os.environ.get("NS_BENCH_NZ", "14"))  # 965k DoF (the metric's ~1M)
-    n_steps = int(os.environ.get("NS_BENCH_STEPS", "10"))
+    n_steps = int(os.environ.get("NS_BENCH_STEPS", "20"))
     # Chunk length trades the ~0.85 s tunneled per-dispatch overhead
-    # (measured: 0.970 -> 1.337 steps/s at 609k going 2 -> 6) against the
-    # ~2 min device watchdog; keep n_steps a MULTIPLE of chunk or the odd
-    # remainder compiles inside the timed run.  10x10 = one timed program.
-    chunk = int(os.environ.get("NS_BENCH_CHUNK", "10"))
+    # (measured: 1.90 -> 2.03 steps/s at 609k going 10 -> 20) against the
+    # ~2 min device watchdog (a 20-step chunk is ~20 s at 965k); keep
+    # n_steps a MULTIPLE of chunk or the odd remainder compiles inside the
+    # timed run.  20x20 = one timed program.
+    chunk = int(os.environ.get("NS_BENCH_CHUNK", "20"))
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
@@ -150,7 +151,8 @@ def measure():
     steps_per_sec = n_steps / elapsed
     print(
         f"# {n_steps} steps in {elapsed:.2f}s; iters/step "
-        f"{list(map(int, diags.iters))}",
+        f"{list(map(int, diags.iters))}; F "
+        f"{list(map(int, diags.iters_f))}; S {list(map(int, diags.iters_s))}",
         file=sys.stderr,
     )
 

@@ -133,7 +133,7 @@ def _run_cylinder(args, dim: int):
 
         jax.config.update("jax_debug_nans", True)
     nu_kw = {} if args.nu is None else {"nu": args.nu}
-    if dim == 2 and getattr(args, "u_m", None) is not None:
+    if getattr(args, "u_m", None) is not None:
         nu_kw["u_m"] = args.u_m
     problem = (
         Cylinder2DProblem(test_case=args.test_case, **nu_kw)
@@ -185,9 +185,10 @@ def _run_cylinder(args, dim: int):
     # run's actual inlet profile and nu.)
     # `is not None` (a truthiness test would treat an explicit --u-m 0 as
     # unset; advisor finding, round 2)
-    u_m2 = args.u_m if getattr(args, "u_m", None) is not None else 1.5
-    # 2D mean = 2 u_m / 3; 3D mean = 4 U_M / 9 with U_M = 9 (cylinder3d.py)
-    base_mean = 2.0 * u_m2 / 3.0 if dim == 2 else 4.0
+    u_m_def = 1.5 if dim == 2 else 9.0
+    u_m2 = args.u_m if getattr(args, "u_m", None) is not None else u_m_def
+    # 2D mean = 2 u_m / 3; 3D mean = 4 u_m / 9 (cylinder3d.py)
+    base_mean = 2.0 * u_m2 / 3.0 if dim == 2 else 4.0 * u_m2 / 9.0
     ramped = (dim == 2 and args.test_case == 2) or (
         dim == 3 and args.test_case == 3
     )
@@ -423,6 +424,10 @@ def main(argv=None):
                          "(ref: src/NavierStokes2D.cpp:622)")
 
     p3 = sub.add_parser("cylinder3d", help="DFG 3D flow past a cylinder")
+    p3.add_argument("--u-m", type=float, default=None,
+                    help="peak inlet velocity; default 9.0 (the reference's "
+                         "hardcoded value, Re=400); 0.45 gives the published "
+                         "DFG 3D-1Z steady case at Re=20")
     _common_flags(p3, dt=2e-4, t_end=4.0, precond="yosida")
     p3.add_argument("--lc", type=float, default=0.05)
     p3.add_argument("--nz", type=int, default=8)

@@ -97,10 +97,12 @@ class NumericsConfig:
     # 609k DoF.  Disable for very large vmapped ensembles if the B x E x
     # nloc^2 buffer pressures HBM.
     fold_elem: bool = True
-    # Velocity-reduce plan: "table" (padded [rows, K] gather tables) or
-    # "halving" (one flat 1-D gather + contiguous pairwise halving sums,
-    # ops/scatter.py HalvingPlan).  Same roundoff class; pick by
-    # measurement on the target backend.
+    # Velocity-reduce plan: "table" (2-bucket padded [rows, K] gather
+    # tables), "exact" (valence-exact buckets, zero padded rows -- measured
+    # 1.39x the table reduce at 609k DoF), or "halving" (one flat 1-D
+    # gather + contiguous pairwise halving sums, ops/scatter.py
+    # HalvingPlan).  Same roundoff class; pick by measurement on the
+    # target backend.
     reduce_plan: str = "table"
     # Aggregate size of the two-level Schur coarse space (ops/coarse.py):
     # n_p/agg coarse rows, dense-Cholesky-factorised per step.  Smaller

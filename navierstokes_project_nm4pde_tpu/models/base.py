@@ -163,6 +163,20 @@ class NavierStokesSolver:
 
     # ------------------------------------------------------------------
     def _setup(self):
+        import os
+        import time as _time
+
+        _verbose = os.environ.get("NS_SETUP_VERBOSE") == "1"
+        _t = [_time.perf_counter()]
+
+        def _mark(label):
+            if _verbose:
+                now = _time.perf_counter()
+                import sys
+
+                print(f"# setup {label}: {now - _t[0]:.1f}s", file=sys.stderr)
+                _t[0] = now
+
         cfg = self.config
         if cfg.numerics.spatial_reorder:
             # RCM gives the bounded windows the one-hot ensemble kernels
@@ -177,6 +191,7 @@ class NavierStokesSolver:
             self.space, self.geom, mask, dtype=self.dtype,
             coarse_agg=cfg.numerics.schur_agg,
         )
+        _mark("operator (host tables + schur pattern)")
         if cfg.numerics.ensemble_onehot:
             import dataclasses as _dc
 
@@ -212,6 +227,29 @@ class NavierStokesSolver:
                 np.asarray(self.space.cells_u), self.space.n_unodes
             )
             self.op = _dc.replace(self.op, hplan_u=hp)
+        elif cfg.numerics.reduce_plan == "exact":
+            # Valence-exact buckets: zero padded rows in the [rows, K]
+            # reduce tables.  Measured 9.05 vs 12.59 ms per 1.36M-slot
+            # reduce at 609k DoF (scripts/prof_reduce2.py) -- the padded
+            # rows of the 2-bucket split were ~28% pure waste.
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                build_gather_plan_grouped,
+            )
+
+            exact = tuple(range(2, 97))
+            self.op = _dc.replace(
+                self.op,
+                plan_u=build_gather_plan_grouped(
+                    np.asarray(self.space.cells_u).reshape(-1, 1),
+                    self.space.n_unodes, thresholds=exact,
+                ),
+                plan_p=build_gather_plan_grouped(
+                    np.asarray(self.space.cells_p).reshape(-1, 1),
+                    self.space.n_pnodes, thresholds=exact,
+                ),
+            )
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 
@@ -250,6 +288,7 @@ class NavierStokesSolver:
 
         bt = boundary_tables(self.space, self.geom, degree=4)
         self._btables = bt
+        _mark("boundary tables")
 
         # Neumann tables
         self.neumann = None
@@ -315,6 +354,7 @@ class NavierStokesSolver:
 
         self._unode_coords_dev = jnp.asarray(self.space.unode_coords, self.dtype)
         self._pnode_coords_dev = jnp.asarray(self.mesh.coords, self.dtype)
+        _mark("functional tables + transfers")
 
         # Quadrature tables for the forcing term (only if the problem has one).
         self._ftab = None
@@ -421,7 +461,10 @@ class NavierStokesSolver:
 
             # op as an ARGUMENT (closure constants blow the compile payload
             # past backend limits at scale; see DeviceData docstring).
+            _mark("pre-frozen")
             self._proj_schur = jax.jit(_frozen)(self.op)
+            jax.block_until_ready(self._proj_schur.vals1)
+            _mark("frozen projection Schur (compile + run)")
 
         self._rebuild_device_data()
 
@@ -714,11 +757,11 @@ class NavierStokesSolver:
         n, d = self.space.n_unodes, self.space.dim
 
         # ---- 1. tentative velocity ------------------------------------
-        rhs_u = ops.apply_mass(op, hist)
+        # rhs = M h - G p_n in one fused element pass (reductions dominate)
+        rhs_u = ops.apply_mass_minus_gradient(op, hist, state.p)
         ext = self._external_rhs(t_new, dev)
         if ext is not None:
             rhs_u = rhs_u + ext
-        rhs_u = rhs_u - ops.apply_gradient(op, state.p)
         g = self._dirichlet_values(t_new, dev)
         rhs_u = jnp.where(mask[:, None], g, rhs_u)
 

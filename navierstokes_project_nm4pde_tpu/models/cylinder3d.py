@@ -26,10 +26,10 @@ PROBE_A = (0.45, 0.2, 0.205)
 PROBE_B = (0.55, 0.2, 0.205)
 
 
-def _inlet_profile(test_case: int):
+def _inlet_profile(test_case: int, u_m: float):
     def g(x, t):
         y, z = x[:, 1], x[:, 2]
-        para = 16.0 * U_M * y * z * (H - y) * (H - z) / (H**4)
+        para = 16.0 * u_m * y * z * (H - y) * (H - z) / (H**4)
         if test_case == 1:
             ux = jnp.zeros_like(y)
         elif test_case == 3:
@@ -42,13 +42,13 @@ def _inlet_profile(test_case: int):
     return g
 
 
-def _mean_velocity(test_case: int):
+def _mean_velocity(test_case: int, u_m: float):
     def U(t):
         if test_case == 1:
             return jnp.asarray(0.0)
         if test_case == 3:
-            return 4.0 * U_M * jnp.sin(t * jnp.pi / 8.0) / 9.0
-        return jnp.asarray(4.0 * U_M / 9.0)
+            return 4.0 * u_m * jnp.sin(t * jnp.pi / 8.0) / 9.0
+        return jnp.asarray(4.0 * u_m / 9.0)
 
     return U
 
@@ -57,18 +57,23 @@ def _zero(x, t):
     return jnp.zeros_like(x)
 
 
-def Cylinder3DProblem(test_case: int = 2, nu: float = NU) -> ProblemSpec:
+def Cylinder3DProblem(
+    test_case: int = 2, nu: float = NU, u_m: float = U_M
+) -> ProblemSpec:
+    """u_m: peak inlet velocity.  The reference hardcodes 9.0
+    (include/NavierStokes3D.hpp); u_m=0.45 gives the published DFG 3D-1Z
+    steady case at Re=20 (Schaefer-Turek), used for physics validation."""
     return ProblemSpec(
         dim=3,
         nu=nu,
         dirichlet={
-            0: _inlet_profile(test_case),
+            0: _inlet_profile(test_case, u_m),
             2: _zero,
             3: _zero,
         },
         obstacle_tag=3,
         probe_points=(PROBE_A, PROBE_B),
-        mean_velocity=_mean_velocity(test_case),
+        mean_velocity=_mean_velocity(test_case, u_m),
         diameter=DIAMETER,
         span=H,
     )

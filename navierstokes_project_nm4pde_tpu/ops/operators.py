@@ -322,6 +322,20 @@ def apply_gradient(op: NSOperator, p: jax.Array) -> jax.Array:
     return scatter_u(op, y_e)
 
 
+def apply_mass_minus_gradient(op: NSOperator, h: jax.Array, p: jax.Array) -> jax.Array:
+    """y = M h - G p = M h + D^T p in ONE element pass + ONE velocity-space
+    reduction (the projection stepper's momentum rhs; two separate applies
+    would pay the row-rate-bound reduction twice -- reductions, not FLOPs,
+    dominate on this backend)."""
+    u_e = gather_u(op, h)
+    p_e = gather_p(op, p)
+    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * op.detJ[:, None, None]
+    y_e = y_e + jnp.einsum(
+        "ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e
+    ) * op.detJ[:, None, None]
+    return scatter_u(op, y_e)
+
+
 def apply_pressure_mass(op: NSOperator, p: jax.Array) -> jax.Array:
     """y = Mp p (unscaled; the reference scales by 1/nu at assembly:
     src/NavierStokes2D.cpp:265)."""

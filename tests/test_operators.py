@@ -195,6 +195,20 @@ def test_folded_F_matches_unfolded(setup):
         ops.apply_F(op, nu, 2 * dt, convf, jnp.asarray(u))
 
 
+def test_fused_mass_minus_gradient(setup):
+    """The projection rhs fusion M h - G p (one element pass + one
+    reduction) must equal the two separate applies."""
+    space, geom, op = setup
+    rng = np.random.default_rng(8)
+    h = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    p = jnp.asarray(rng.normal(size=space.n_pnodes))
+    fused = ops.apply_mass_minus_gradient(op, h, p)
+    ref = ops.apply_mass(op, h) - ops.apply_gradient(op, p)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=1e-10, atol=1e-12
+    )
+
+
 def test_schur(setup):
     space, geom, op = setup
     M, A, D, Mp = dense_blocks(space)
