@@ -106,7 +106,8 @@ def measure():
     cfg = RunConfig(
         time=TimeConfig(dt=2e-4, t_end=4.0, stepper=stepper),
         solver=SolverConfig(
-            rtol=1e-6, restart=restart, maxiter=maxiter, tol_mode=tol_mode
+            rtol=1e-6, restart=restart, maxiter=maxiter, tol_mode=tol_mode,
+            guess_order=int(os.environ.get("NS_BENCH_GUESS", "1")),
         ),
         precond=PrecondConfig(
             kind=precond, f_iters=f_iters, f_corr_iters=f_corr,
@@ -119,7 +120,9 @@ def measure():
         ),
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk,
-            reduce_plan=os.environ.get("NS_BENCH_REDUCE", "table"),
+            # valence-exact reduce buckets: 2.151 vs 2.030 steps/s at 609k
+            # (the padded table rows were ~28% pure reduce waste)
+            reduce_plan=os.environ.get("NS_BENCH_REDUCE", "exact"),
             # "highest" (the config default) is the correctness-validated
             # setting; NS_BENCH_PRECISION=default exposes the bf16-operand
             # mode for A/B only.

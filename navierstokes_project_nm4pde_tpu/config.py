@@ -36,6 +36,12 @@ class SolverConfig:
     # implicitly via solution_owned; extrapolation is strictly better for
     # smooth trajectories and costs one extra stored state).
     extrapolate_guess: bool = True
+    # Extrapolation order of the warm start: 1 (linear, 2 x_n - x_{n-1})
+    # or 2 (quadratic through the last three states; for the projection
+    # pressure increment this is the difference between a first-order and
+    # a second-order guess of phi, where the Schur CG count tracks the
+    # guess quality).  Costs one more stored state.
+    guess_order: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

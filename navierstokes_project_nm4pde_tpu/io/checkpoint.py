@@ -25,10 +25,10 @@ def save_checkpoint(path: str, state: State, meta: dict | None = None):
         "t": np.asarray(jax.device_get(state.t)),
         "step": np.asarray(jax.device_get(state.step)),
     }
-    if state.u_prev is not None:
-        arrays["u_prev"] = np.asarray(jax.device_get(state.u_prev))
-    if state.p_prev is not None:
-        arrays["p_prev"] = np.asarray(jax.device_get(state.p_prev))
+    for name in ("u_prev", "p_prev", "u_prev2", "p_prev2"):
+        val = getattr(state, name)
+        if val is not None:
+            arrays[name] = np.asarray(jax.device_get(val))
     if meta:
         for k, v in meta.items():
             arrays[f"meta_{k}"] = np.asarray(v)
@@ -47,8 +47,11 @@ def save_checkpoint_orbax(path: str, state: State):
             "p": state.p,
             "t": state.t,
             "step": state.step,
-            **({"u_prev": state.u_prev} if state.u_prev is not None else {}),
-            **({"p_prev": state.p_prev} if state.p_prev is not None else {}),
+            **{
+                name: getattr(state, name)
+                for name in ("u_prev", "p_prev", "u_prev2", "p_prev2")
+                if getattr(state, name) is not None
+            },
         },
         force=True,
     )
@@ -67,6 +70,8 @@ def load_checkpoint_orbax(path: str) -> State:
         step=tree["step"],
         u_prev=tree.get("u_prev"),
         p_prev=tree.get("p_prev"),
+        u_prev2=tree.get("u_prev2"),
+        p_prev2=tree.get("p_prev2"),
     )
 
 
@@ -77,10 +82,10 @@ def load_checkpoint(path: str, dtype=jnp.float32) -> State:
             p=jnp.asarray(z["p"], dtype=dtype),
             t=jnp.asarray(z["t"], dtype=dtype),
             step=jnp.asarray(z["step"], dtype=jnp.int32),
-            u_prev=jnp.asarray(z["u_prev"], dtype=dtype)
-            if "u_prev" in z
-            else None,
-            p_prev=jnp.asarray(z["p_prev"], dtype=dtype)
-            if "p_prev" in z
-            else None,
+            **{
+                name: jnp.asarray(z[name], dtype=dtype)
+                if name in z
+                else None
+                for name in ("u_prev", "p_prev", "u_prev2", "p_prev2")
+            },
         )

@@ -85,6 +85,8 @@ class State:
     step: jax.Array  # int32 step counter
     u_prev: jax.Array | None = None  # u^{n-1} (BDF2 / extrapolation history)
     p_prev: jax.Array | None = None  # p^{n-1} (guess extrapolation)
+    u_prev2: jax.Array | None = None  # u^{n-2} (guess_order=2 only)
+    p_prev2: jax.Array | None = None  # p^{n-2} (guess_order=2 only)
 
 
 @jax.tree_util.register_dataclass
@@ -507,6 +509,10 @@ class NavierStokesSolver:
             self.config.time.scheme == "bdf2"
             or self.config.solver.extrapolate_guess
         )
+        quad = (
+            self.config.solver.extrapolate_guess
+            and self.config.solver.guess_order >= 2
+        )
         return State(
             u=u,
             p=p,
@@ -514,6 +520,8 @@ class NavierStokesSolver:
             step=jnp.asarray(0, jnp.int32),
             u_prev=u if keep_hist else None,
             p_prev=p if self.config.solver.extrapolate_guess else None,
+            u_prev2=u if quad else None,
+            p_prev2=p if quad else None,
         )
 
     # ------------------------------------------------------------------
@@ -567,6 +575,17 @@ class NavierStokesSolver:
             not_first = (state.step > 0).astype(self.dtype)
             u_guess = state.u + not_first * (state.u - state.u_prev)
             p_guess = state.p + not_first * (state.p - state.p_prev)
+            if state.u_prev2 is not None:
+                # quadratic through (x_{n-2}, x_{n-1}, x_n) at t_{n+1}:
+                # x + (x - x_prev) + (x - 2 x_prev + x_prev2), second
+                # difference gated until two real histories exist
+                not_second = (state.step > 1).astype(self.dtype)
+                u_guess = u_guess + not_second * (
+                    state.u - 2.0 * state.u_prev + state.u_prev2
+                )
+                p_guess = p_guess + not_second * (
+                    state.p - 2.0 * state.p_prev + state.p_prev2
+                )
             return u_guess, p_guess
         return state.u, state.p
 
@@ -692,6 +711,7 @@ class NavierStokesSolver:
         x = x0 + dx
         u_new, p_new = self._unpack(x)
         keep_hist = cfg.time.scheme == "bdf2" or cfg.solver.extrapolate_guess
+        quad = state.u_prev2 is not None
         new_state = State(
             u=u_new,
             p=p_new,
@@ -699,6 +719,8 @@ class NavierStokesSolver:
             step=state.step + 1,
             u_prev=state.u if keep_hist else None,
             p_prev=state.p if cfg.solver.extrapolate_guess else None,
+            u_prev2=state.u_prev if quad else None,
+            p_prev2=state.p_prev if quad else None,
         )
 
         diag = self._diagnostics(u_new, p_new, t_new, info, nu, dev)
@@ -893,6 +915,7 @@ class NavierStokesSolver:
         u_new = u_star - upd_inv[:, None] * ops.apply_gradient(op, phi)
 
         keep_hist = cfg.time.scheme == "bdf2" or cfg.solver.extrapolate_guess
+        quad = state.u_prev2 is not None
         new_state = State(
             u=u_new,
             p=p_new,
@@ -900,6 +923,8 @@ class NavierStokesSolver:
             step=state.step + 1,
             u_prev=state.u if keep_hist else None,
             p_prev=state.p if cfg.solver.extrapolate_guess else None,
+            u_prev2=state.u_prev if quad else None,
+            p_prev2=state.p_prev if quad else None,
         )
         info = type(info_f)(
             iters=info_f.iters + info_s.iters,

@@ -156,3 +156,37 @@ def test_projection_vmaps_over_viscosity():
     bstate, bdiags = run_ensemble(solver, nus, n_steps=3)
     assert np.all(np.isfinite(np.asarray(bstate.u)))
     assert not np.allclose(np.asarray(bstate.u)[0], np.asarray(bstate.u)[1])
+
+
+def test_quadratic_guess_preserves_trajectory():
+    """guess_order=2 (quadratic warm-start extrapolation) only changes the
+    Krylov starting point, never the converged trajectory; at tight
+    tolerance the two runs must agree and the checkpoint roundtrip must
+    carry the extra history."""
+    import dataclasses
+
+    from navierstokes_project_nm4pde_tpu.io.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    mesh = cylinder_channel_2d(lc=0.12)
+    base = make_config("projection", dt=0.01, t_end=0.06, rtol=1e-11, chunk=3)
+    runs = {}
+    for order in (1, 2):
+        cfg = dataclasses.replace(
+            base, solver=dataclasses.replace(base.solver, guess_order=order)
+        )
+        s = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        runs[order] = s.run(6)
+    u1, u2 = np.asarray(runs[1][0].u), np.asarray(runs[2][0].u)
+    assert np.linalg.norm(u2 - u1) / np.linalg.norm(u1) < 1e-8
+    state2 = runs[2][0]
+    assert state2.u_prev2 is not None and state2.p_prev2 is not None
+    import jax.numpy as jnp
+
+    save_checkpoint("/tmp/_ns_quad_ckpt.npz", state2)
+    loaded = load_checkpoint("/tmp/_ns_quad_ckpt.npz", dtype=jnp.float64)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.p_prev2), np.asarray(state2.p_prev2)
+    )
