@@ -36,6 +36,13 @@ class SolverConfig:
     # implicitly via solution_owned; extrapolation is strictly better for
     # smooth trajectories and costs one extra stored state).
     extrapolate_guess: bool = True
+    # Projection-mode pressure-Poisson target cap: the CG absolute target
+    # is min(velocity-solve target, proj_div_cap * ||rhs_p||), so the
+    # divergence feedback loop always closes by at least this fractional
+    # reduction even when the absolute target sits above the divergence
+    # signal (see _step_projection; 1.0 would let the pressure go
+    # open-loop and blow up).
+    proj_div_cap: float = 0.1
     # Extrapolation order of the warm start: 1 (linear, 2 x_n - x_{n-1})
     # or 2 (quadratic through the last three states; for the projection
     # pressure increment this is the difference between a first-order and

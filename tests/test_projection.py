@@ -182,11 +182,11 @@ def test_quadratic_guess_preserves_trajectory():
     u1, u2 = np.asarray(runs[1][0].u), np.asarray(runs[2][0].u)
     assert np.linalg.norm(u2 - u1) / np.linalg.norm(u1) < 1e-8
     state2 = runs[2][0]
-    assert state2.u_prev2 is not None and state2.p_prev2 is not None
+    assert state2.u_prev2 is not None
     import jax.numpy as jnp
 
     save_checkpoint("/tmp/_ns_quad_ckpt.npz", state2)
     loaded = load_checkpoint("/tmp/_ns_quad_ckpt.npz", dtype=jnp.float64)
     np.testing.assert_array_equal(
-        np.asarray(loaded.p_prev2), np.asarray(state2.p_prev2)
+        np.asarray(loaded.u_prev2), np.asarray(state2.u_prev2)
     )
