@@ -189,9 +189,19 @@ class NavierStokesSolver:
         self.geom = cell_geometry(self.space)
         dtags = sorted(self.problem.dirichlet.keys())
         mask = self.space.dirichlet_mask(dtags)
-        self.op = ops.build_operator(
+        # In frozen-projection mode the S~ values are assembled ONCE at
+        # setup, host-side: the ~230 MB of pair-product/reduction tables the
+        # per-step device assembly needs then never cross the host->device
+        # tunnel (they dominated the 415 MB operator transfer at 965k DoF).
+        frozen_schur = (
+            cfg.time.stepper == "projection"
+            and cfg.numerics.proj_schur == "frozen"
+        )
+        self.op, self._schur_host = ops.build_operator(
             self.space, self.geom, mask, dtype=self.dtype,
             coarse_agg=cfg.numerics.schur_agg,
+            device_schur_assembly=not frozen_schur,
+            want_host_schur=True,
         )
         _mark("operator (host tables + schur pattern)")
         if cfg.numerics.ensemble_onehot:
@@ -257,7 +267,9 @@ class NavierStokesSolver:
 
             from navierstokes_project_nm4pde_tpu.ops.spai import build_spai_values
 
-            vals = build_spai_values(self.op, self.problem.nu, cfg.time.dt)
+            vals = build_spai_values(
+                self.op, self._schur_host, self.problem.nu, cfg.time.dt
+            )
             self.op = _dc.replace(
                 self.op, spai_vals=jnp.asarray(vals, self.dtype)
             )
@@ -431,42 +443,39 @@ class NavierStokesSolver:
         # coarse correction ONCE (see FrozenSchur).  The per-step solve
         # rescales the rhs by 1/dt_eff instead of the values by dt_eff.
         self._proj_schur = None
-        if (
-            cfg.time.stepper == "projection"
-            and cfg.numerics.proj_schur == "frozen"
-        ):
+        if frozen_schur:
             from navierstokes_project_nm4pde_tpu.ops.coarse import (
-                coarse_factor,
-                coarse_inverse,
+                host_coarse_dense,
             )
             from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
-                assemble_schur_values,
-                schur_ell_diag,
+                host_assemble_schur_values,
             )
 
-            want_inv = cfg.numerics.coarse_solve == "inv"
-
-            def _frozen(op_):
-                inv1 = jnp.where(op_.dirichlet_mask, 0.0, 1.0 / op_.diagM)
-                vals1 = assemble_schur_values(op_.schur, inv1)
-                diag1 = schur_ell_diag(op_.schur, vals1)
-                diag1 = jnp.where(diag1 > 0, diag1, 1.0)
-                cho_L = inv_c = None
-                if want_inv:
-                    inv_c = coarse_inverse(op_.coarse, vals1)
-                else:
-                    cho_L = coarse_factor(op_.coarse, vals1)[0]
-                return FrozenSchur(
-                    inv1=inv1, vals1=vals1, diag1=diag1,
-                    cho_L=cho_L, inv_c=inv_c,
-                )
-
-            # op as an ARGUMENT (closure constants blow the compile payload
-            # past backend limits at scale; see DeviceData docstring).
-            _mark("pre-frozen")
-            self._proj_schur = jax.jit(_frozen)(self.op)
-            jax.block_until_ready(self._proj_schur.vals1)
-            _mark("frozen projection Schur (compile + run)")
+            # Host-side numpy assembly (float64): the pair-product tables
+            # stay on the host and only the [n_slots] values + the tiny
+            # coarse factor are transferred -- the device-assembly path
+            # shipped ~230 MB of setup-only tables through the tunnel.
+            host = self._schur_host
+            mask_np = np.asarray(mask, dtype=bool)
+            inv1 = np.where(mask_np, 0.0, 1.0 / host["diagM"])
+            vals1 = host_assemble_schur_values(host, inv1)
+            diag1 = vals1[host["diag_slot"]]
+            diag1 = np.where(diag1 > 0, diag1, 1.0)
+            Sc = host_coarse_dense(
+                host, vals1, self.op.coarse.nc, self.op.coarse.agg
+            )
+            cho_L = inv_c = None
+            if cfg.numerics.coarse_solve == "inv":
+                inv_c = jnp.asarray(np.linalg.inv(Sc), self.dtype)
+            else:
+                cho_L = jnp.asarray(np.linalg.cholesky(Sc), self.dtype)
+            self._proj_schur = FrozenSchur(
+                inv1=jnp.asarray(inv1, self.dtype),
+                vals1=jnp.asarray(vals1, self.dtype),
+                diag1=jnp.asarray(diag1, self.dtype),
+                cho_L=cho_L, inv_c=inv_c,
+            )
+            _mark("frozen projection Schur (host assembly)")
 
         self._rebuild_device_data()
 

@@ -38,19 +38,24 @@ from navierstokes_project_nm4pde_tpu.ops.scatter import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CoarseSchur:
-    plan: GatherPlan  # reduces flat S~ values into the dense nc x nc matrix
+    # None when built with with_plan=False (frozen projection Schur: the
+    # coarse matrix is assembled once host-side; per-step only restrict/
+    # prolong -- pure reshapes -- and the cached factor are used).
+    plan: GatherPlan | None  # reduces flat S~ values into the dense nc x nc
     nc: int = dataclasses.field(metadata=dict(static=True))
     agg: int = dataclasses.field(metadata=dict(static=True))  # aggregate size
     n_pad: int = dataclasses.field(metadata=dict(static=True))
 
 
-def build_coarse_schur(schur, agg: int = 24) -> CoarseSchur:
+def build_coarse_schur(schur, agg: int = 24, with_plan: bool = True) -> CoarseSchur:
     """Static aggregation structure over the S~ ELL layout."""
+    n_p = schur.n_rows
+    nc = (n_p + agg - 1) // agg
+    if not with_plan:
+        return CoarseSchur(plan=None, nc=nc, agg=agg, n_pad=nc * agg)
     from navierstokes_project_nm4pde_tpu.ops.spai import _slot_layout
 
     srow, scol, smask = _slot_layout(schur)
-    n_p = schur.n_rows
-    nc = (n_p + agg - 1) // agg
     a = srow // agg
     b = scol // agg
     flat = np.where(smask, a * nc + b, nc * nc)  # masked slots -> drop row
@@ -60,6 +65,21 @@ def build_coarse_schur(schur, agg: int = 24) -> CoarseSchur:
         flat[:, None], nc * nc, thresholds=(1, 4, 16, 64), drop_row=nc * nc
     )
     return CoarseSchur(plan=plan, nc=nc, agg=agg, n_pad=nc * agg)
+
+
+def host_coarse_dense(
+    host: dict, vals_flat: np.ndarray, nc: int, agg: int
+) -> np.ndarray:
+    """Numpy mirror of `coarse_dense` over the schur_ell host slot layout
+    (one-time frozen-Schur setup)."""
+    keep = host["smask"]
+    a = host["srow"][keep] // agg
+    b = host["scol"][keep] // agg
+    Sc = np.zeros((nc, nc))
+    np.add.at(Sc, (a, b), vals_flat[keep])
+    Sc = 0.5 * (Sc + Sc.T)
+    shift = 1e-6 * np.trace(Sc) / nc
+    return Sc + shift * np.eye(nc)
 
 
 def coarse_dense(cs: CoarseSchur, vals_flat: jax.Array) -> jax.Array:

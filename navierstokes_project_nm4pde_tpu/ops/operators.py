@@ -70,9 +70,6 @@ class NSOperator:
     diagA: jax.Array  # [n_unodes] stiffness diag (unscaled by nu)
     lumpM: jax.Array  # [n_unodes] abs-lumped mass (unscaled by dt)
     diagMp: jax.Array  # [n_pnodes] pressure-mass diag
-    # Schur support: divergence matrix rows in padded ELL form
-    D_cols: jax.Array  # [n_pnodes, Wd] int32 (padded with 0)
-    D_vals: jax.Array  # [n_pnodes, Wd, dim] (padded with 0)
     # Explicit S~ structure (pattern + pair products; see ops/schur_ell.py)
     schur: "SchurELL"
     # Two-level coarse aggregation over S~ (see ops/coarse.py)
@@ -132,7 +129,16 @@ def build_operator(
     dtype=jnp.float32,
     tables: RefTables | None = None,
     coarse_agg: int = 24,
-) -> NSOperator:
+    device_schur_assembly: bool = True,
+    want_host_schur: bool = False,
+):
+    """Build the static per-mesh operator pytree.
+
+    device_schur_assembly=False keeps the S~ pair-product/assembly tables
+    host-only (the frozen projection Schur assembles its values once in
+    numpy -- ~230 MB that never cross the host->device tunnel at ~1M DoF).
+    want_host_schur=True additionally returns the numpy assembly dict
+    (pair products, slot layout, diagM) as a second value."""
     dim = space.dim
     t = tables or build_ref_tables(dim)
     E = space.mesh.n_cells
@@ -155,10 +161,19 @@ def build_operator(
     np.add.at(lumpM, space.cells_u, lump_e)
     np.add.at(diagMp, space.cells_p, mpdiag_e)
 
-    # Divergence matrix in padded ELL (for Schur diagonals / SpMV).
+    # Divergence matrix in padded ELL (host-only: feeds the S~ pattern and
+    # SPAI; never transferred to the device).
     D_cols, D_vals = _assemble_divergence_ell(space, geom, t)
-    schur = build_schur_ell(space, D_cols, D_vals, dtype=dtype)
-    coarse = build_coarse_schur(schur, agg=coarse_agg)
+    schur, schur_host = build_schur_ell(
+        space, D_cols, D_vals, dtype=dtype,
+        device_assembly=device_schur_assembly,
+    )
+    coarse = build_coarse_schur(
+        schur, agg=coarse_agg, with_plan=device_schur_assembly
+    )
+    schur_host["diagM"] = diagM
+    schur_host["D_cols"] = D_cols
+    schur_host["D_vals"] = D_vals
 
     plan_u = build_gather_plan(
         space.cells_u, space.n_unodes, splits=(space.mesh.n_vertices,)
@@ -168,7 +183,7 @@ def build_operator(
     dev = lambda x: jnp.asarray(x, dtype=dtype)  # noqa: E731
     idx = lambda x: jnp.asarray(x, dtype=jnp.int32)  # noqa: E731
 
-    return NSOperator(
+    op = NSOperator(
         cells_u=idx(space.cells_u),
         cells_p=idx(space.cells_p),
         plan_u=plan_u,
@@ -188,12 +203,11 @@ def build_operator(
         diagA=dev(diagA),
         lumpM=dev(lumpM),
         diagMp=dev(diagMp),
-        D_cols=idx(D_cols),
-        D_vals=dev(D_vals),
         schur=schur,
         coarse=coarse,
         dirichlet_mask=jnp.asarray(dirichlet_mask, dtype=bool),
     )
+    return (op, schur_host) if want_host_schur else op
 
 
 def _assemble_divergence_ell(space: TaylorHoodSpace, geom: CellGeometry, t: RefTables):
@@ -566,10 +580,12 @@ def apply_system(op: NSOperator, nu, dt, conv, u, p, mask_rows: bool = True):
 # ----------------------------------------------------------------------
 # Schur-complement support: S = D diag(F)^-1 D^T via the ELL rows of D
 # ----------------------------------------------------------------------
-def apply_D_ell(op: NSOperator, u: jax.Array) -> jax.Array:
-    """D u via the assembled ELL rows (identical result to apply_divergence)."""
-    ug = u[op.D_cols]  # [n_p, Wd, dim]
-    return jnp.einsum("pwc,pwc->p", op.D_vals, ug)
+def apply_D_ell(host: dict, u: jax.Array) -> jax.Array:
+    """D u via the host-assembled ELL rows of D (cross-check against the
+    element-path apply_divergence; `host` from want_host_schur=True)."""
+    D_cols = jnp.asarray(host["D_cols"], jnp.int32)
+    D_vals = jnp.asarray(host["D_vals"], u.dtype)
+    return jnp.einsum("pwc,pwc->p", D_vals, u[D_cols])
 
 
 def apply_Dt_ell(op: NSOperator, p: jax.Array, mask=None) -> jax.Array:
@@ -578,11 +594,14 @@ def apply_Dt_ell(op: NSOperator, p: jax.Array, mask=None) -> jax.Array:
     return -apply_gradient(op, p)
 
 
-def schur_diag(op: NSOperator, inv_diag_F: jax.Array, mask: jax.Array) -> jax.Array:
+def schur_diag(host: dict, inv_diag_F: jax.Array, mask: jax.Array) -> jax.Array:
     """diag(S~) with S~ = D diag(F)^-1 D^T, excluding Dirichlet-masked
-    velocity columns (their F rows are identity rows)."""
-    w = jnp.where(mask[op.D_cols], 0.0, inv_diag_F[op.D_cols])  # [n_p, Wd]
-    return jnp.einsum("pwc,pw->p", op.D_vals**2, w)
+    velocity columns (their F rows are identity rows).  Host ELL rows of D
+    (`host` from want_host_schur=True)."""
+    D_cols = jnp.asarray(host["D_cols"], jnp.int32)
+    D_vals = jnp.asarray(host["D_vals"], inv_diag_F.dtype)
+    w = jnp.where(mask[D_cols], 0.0, inv_diag_F[D_cols])  # [n_p, Wd]
+    return jnp.einsum("pwc,pw->p", D_vals**2, w)
 
 
 def apply_schur(op: NSOperator, inv_diag_F: jax.Array, p: jax.Array) -> jax.Array:

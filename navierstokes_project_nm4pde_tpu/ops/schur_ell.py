@@ -43,12 +43,15 @@ class SchurELL:
     mask: tuple  # per bucket: [rows_b, W_b] 1.0 where a real entry exists
     row_unperm: jax.Array  # [n_p] natural-order restore for SpMV outputs
     slot_base: tuple = dataclasses.field(metadata=dict(static=True))
-    # pair-product table (upper triangle):
-    prod_vals: jax.Array  # [T] D[i,k]*D[j,k] summed over components
-    prod_k: jax.Array  # [T] int32 velocity node k (for the 1/dF gather)
-    plan: GatherPlan  # reduces the T products into the flat value slots
-    mirror: jax.Array  # [n_slots] lower-triangle slots -> upper mirror
-    diag_slot: jax.Array  # [n_p] flat slot of each diagonal entry
+    # Pair-product assembly table (upper triangle).  None when the operator
+    # was built with device_assembly=False (frozen projection Schur: the
+    # values are assembled once host-side and these ~230 MB of tables never
+    # cross the host->device tunnel).
+    prod_vals: jax.Array | None  # [T] D[i,k]*D[j,k] summed over components
+    prod_k: jax.Array | None  # [T] int32 velocity node k (for the 1/dF gather)
+    plan: GatherPlan | None  # reduces the T products into the flat value slots
+    mirror: jax.Array | None  # [n_slots] lower-triangle slots -> upper mirror
+    diag_slot: jax.Array | None  # [n_p] flat slot of each diagonal entry
 
     @property
     def n_rows(self) -> int:
@@ -56,10 +59,17 @@ class SchurELL:
 
 
 def build_schur_ell(
-    space, D_cols: np.ndarray, D_vals: np.ndarray, dtype=jnp.float32
-) -> SchurELL:
+    space, D_cols: np.ndarray, D_vals: np.ndarray, dtype=jnp.float32,
+    device_assembly: bool = True,
+):
     """Precompute the S~ pattern and pair-product table from the ELL rows of
-    D (cols [n_p, Wd], vals [n_p, Wd, dim])."""
+    D (cols [n_p, Wd], vals [n_p, Wd, dim]).
+
+    Returns (SchurELL, host) where `host` is a dict of numpy assembly
+    tables (pair products, slot layout, diagonal slots) usable by
+    `host_assemble_schur_values` / host coarse assembly.  With
+    device_assembly=False the SchurELL carries only the SpMV structure
+    (cols/mask/row_unperm) -- the assembly tables stay host-only."""
     n_p, Wd, dim = D_vals.shape
     real = np.abs(D_vals).sum(axis=2) > 0  # [n_p, Wd]
 
@@ -150,22 +160,62 @@ def build_schur_ell(
     tpos = np.searchsorted(uniq_pairs, tkey)
     mirror[pair_flat_slot[lower]] = pair_flat_slot[tpos]
 
-    plan = build_gather_plan_grouped(prod_slot[:, None], n_slots)
     diag_slot = np.zeros(n_p, dtype=np.int64)
     is_diag = ui == uj
     diag_slot[ui[is_diag]] = pair_flat_slot[is_diag]
 
-    return SchurELL(
+    # Host-side slot layout (row, col, real) of every flat value slot, and
+    # the raw assembly tables -- numpy, never transferred unless the
+    # device-assembly path below materialises them.
+    srow = np.concatenate([
+        np.repeat(row_order[cls[row_order] == bnum], W)
+        for bnum, W in enumerate(widths)
+    ])
+    host = dict(
+        prod_val=prod_val,
+        prod_k=prod_k_u,
+        prod_slot=prod_slot,
+        mirror=mirror,
+        diag_slot=diag_slot,
+        n_slots=n_slots,
+        srow=srow,
+        scol=np.concatenate([c.reshape(-1) for c in cols_t]),
+        smask=np.concatenate([m.reshape(-1) > 0 for m in mask_t]),
+    )
+
+    if device_assembly:
+        plan = build_gather_plan_grouped(prod_slot[:, None], n_slots)
+        dev_asm = dict(
+            prod_vals=jnp.asarray(prod_val, dtype),
+            prod_k=jnp.asarray(prod_k_u, jnp.int32),
+            plan=plan,
+            mirror=jnp.asarray(mirror, jnp.int32),
+            diag_slot=jnp.asarray(diag_slot, jnp.int32),
+        )
+    else:
+        dev_asm = dict(
+            prod_vals=None, prod_k=None, plan=None, mirror=None,
+            diag_slot=None,
+        )
+
+    schur = SchurELL(
         cols=tuple(jnp.asarray(c, jnp.int32) for c in cols_t),
         mask=tuple(jnp.asarray(m, dtype) for m in mask_t),
         row_unperm=jnp.asarray(unperm, jnp.int32),
         slot_base=tuple(slot_base),
-        prod_vals=jnp.asarray(prod_val, dtype),
-        prod_k=jnp.asarray(prod_k_u, jnp.int32),
-        plan=plan,
-        mirror=jnp.asarray(mirror, jnp.int32),
-        diag_slot=jnp.asarray(diag_slot, jnp.int32),
+        **dev_asm,
     )
+    return schur, host
+
+
+def host_assemble_schur_values(host: dict, inv_dF: np.ndarray) -> np.ndarray:
+    """Numpy mirror of `assemble_schur_values` over the host tables (one-time
+    frozen-Schur setup; float64 accumulation)."""
+    w = host["prod_val"] * inv_dF[host["prod_k"]]
+    vals = np.bincount(
+        host["prod_slot"], weights=w, minlength=host["n_slots"]
+    )
+    return vals[host["mirror"]]
 
 
 def assemble_schur_values(s: SchurELL, inv_dF: jax.Array, dtype=None) -> jax.Array:

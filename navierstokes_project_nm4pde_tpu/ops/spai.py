@@ -43,9 +43,11 @@ def _slot_layout(schur):
     )
 
 
-def build_spai_values(op, nu: float, dt: float) -> np.ndarray:
+def build_spai_values(op, host: dict, nu: float, dt: float) -> np.ndarray:
     """SPAI values on S~'s pattern, flat bucketed layout (feed to
-    `schur_ell_matvec`).  Uses the convection-free diag(F)."""
+    `schur_ell_matvec`).  Uses the convection-free diag(F).  `host` is the
+    numpy assembly dict from `build_operator(want_host_schur=True)` (carries
+    the ELL rows of D, which never live on device)."""
     import scipy.sparse as sp
 
     schur = op.schur
@@ -57,8 +59,8 @@ def build_spai_values(op, nu: float, dt: float) -> np.ndarray:
     inv = np.where(mask_u, 0.0, 1.0 / dF0)
 
     # S~ = D diag(inv) D^T from the host ELL rows of D.
-    D_cols = np.asarray(op.D_cols)  # [n_p, Wd]
-    D_vals = np.asarray(op.D_vals, dtype=np.float64)  # [n_p, Wd, dim]
+    D_cols = np.asarray(host["D_cols"])  # [n_p, Wd]
+    D_vals = np.asarray(host["D_vals"], dtype=np.float64)  # [n_p, Wd, dim]
     n_u = inv.shape[0]
     dim = D_vals.shape[2]
     rows = np.repeat(np.arange(n_p), D_cols.shape[1] * dim)

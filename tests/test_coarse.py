@@ -53,6 +53,39 @@ def test_coarse_matrix_consistency():
         np.testing.assert_allclose(sc[:, j], col, rtol=1e-9, atol=1e-12)
 
 
+def test_host_assembly_matches_device():
+    """The host (numpy) frozen-Schur assembly must reproduce the device
+    per-step assembly: values, diagonal slots, and the dense coarse
+    matrix (the frozen projection path ships only these to the device)."""
+    from navierstokes_project_nm4pde_tpu.ops.coarse import (
+        coarse_dense,
+        host_coarse_dense,
+    )
+    from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
+        host_assemble_schur_values,
+    )
+
+    mesh = cube_mesh(3).reorder_spatial()
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0, 1, 2, 4, 5])
+    op, host = ops.build_operator(
+        space, geom, mask, dtype=jnp.float64, want_host_schur=True
+    )
+    inv = np.where(np.asarray(mask), 0.0, 1.0 / (host["diagM"] / 1e-2))
+    vals_h = host_assemble_schur_values(host, inv)
+    vals_d = assemble_schur_values(op.schur, jnp.asarray(inv))
+    np.testing.assert_allclose(vals_h, np.asarray(vals_d), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        vals_h[host["diag_slot"]],
+        np.asarray(schur_ell_diag(op.schur, vals_d)),
+        rtol=1e-12,
+    )
+    Sc_h = host_coarse_dense(host, vals_h, op.coarse.nc, op.coarse.agg)
+    Sc_d = np.asarray(coarse_dense(op.coarse, vals_d))
+    np.testing.assert_allclose(Sc_h, Sc_d, rtol=1e-10, atol=1e-12)
+
+
 def test_twolevel_beats_jacobi():
     op, space = setup_op()
     inv = jnp.where(op.dirichlet_mask, 0.0, 1.0 / (op.diagM / 1e-2))

@@ -124,8 +124,12 @@ def test_divergence_gradient_adjoint(setup):
         np.asarray(ops.apply_gradient(op, jnp.asarray(p))), Gp, rtol=1e-10, atol=1e-12
     )
     # ELL path agrees with element path
+    host = ops.build_operator(
+        space, geom, np.asarray(op.dirichlet_mask), dtype=jnp.float64,
+        want_host_schur=True,
+    )[1]
     np.testing.assert_allclose(
-        np.asarray(ops.apply_D_ell(op, jnp.asarray(u))), Du, rtol=1e-10, atol=1e-12
+        np.asarray(ops.apply_D_ell(host, jnp.asarray(u))), Du, rtol=1e-10, atol=1e-12
     )
     np.testing.assert_allclose(
         np.asarray(ops.apply_pressure_mass(op, jnp.asarray(p))), Mp @ p,
@@ -221,8 +225,11 @@ def test_schur(setup):
     inv = 1.0 / diagF
     inv_full = np.repeat(inv, space.dim) * ~np.repeat(mask, space.dim)
     S = Dm @ np.diag(inv_full) @ Dm.T
+    host = ops.build_operator(
+        space, geom, mask, dtype=jnp.float64, want_host_schur=True
+    )[1]
     np.testing.assert_allclose(
-        np.asarray(ops.schur_diag(op, jnp.asarray(inv), op.dirichlet_mask)),
+        np.asarray(ops.schur_diag(host, jnp.asarray(inv), op.dirichlet_mask)),
         np.diag(S), rtol=1e-10, atol=1e-12,
     )
     p = rng.normal(size=space.n_pnodes)
