@@ -72,11 +72,24 @@ def forces_2d(ft: ForceTables, u: jax.Array, p: jax.Array, nu):
 
 
 def forces_3d(ft: ForceTables, u: jax.Array, p: jax.Array, nu, rho=1.0):
-    """(drag, lift) via the reference's 3D tangent-derivative formula
-    (ref: src/NavierStokes3D.cpp:797-825): with n the into-body normal and
-    t = (n_y, -n_x, 0),
-      drag += (rho nu (n . grad u . t/|t|^2) n_y - p n_x) JxW
-      lift -= (rho nu (n . grad u . t/|t|^2) n_x + p n_y) JxW
+    """(drag, lift) via the DFG 3D tangent-derivative formula
+    (Schaefer-Turek 1996; ref: src/NavierStokes3D.cpp:797-825): with n the
+    into-fluid normal and t = (n_y, -n_x, 0),
+      drag += (rho nu d(u.t)/dn / |t|^2 * n_y - p n_x) JxW
+      lift -= (rho nu d(u.t)/dn / |t|^2 * n_x + p n_y) JxW
+    where d(u.t)/dn = t . grad u . n = sum_{c,d} t_c du_c/dx_d n_d.
+
+    NOTE a deliberate deviation from the reference: NavierStokes3D.cpp:810
+    contracts `n * grad_u * t` = n_c du_c/dx_d t_d -- the TANGENTIAL
+    derivative of the NORMAL velocity component, which vanishes identically
+    on flat no-slip facets (t is perpendicular to n, hence lies in the facet
+    plane where u == 0), so the reference's 3D viscous drag is exactly zero
+    and its c_d converges to the pressure drag alone.  Validated here
+    against the published DFG 3D-1Z intervals (VALIDATION.md), the
+    transposed contraction below restores the viscous share (~1/3 of c_d at
+    Re=20); the reference's 3D runs publish no comparable table (its U_m=9
+    has no DFG case), so parity with published physics wins over parity
+    with the reference's transposition.
     """
     u_e = u[ft.cells_u]
     p_e = p[ft.cells_p]
@@ -86,10 +99,10 @@ def forces_3d(ft: ForceTables, u: jax.Array, p: jax.Array, nu, rho=1.0):
     nx, ny = n[:, 0], n[:, 1]
     t = jnp.stack([ny, -nx, jnp.zeros_like(nx)], axis=1)
     t2 = jnp.sum(t * t, axis=1)
-    # n . grad u . t = sum_c sum_d n_c du_c/dx_d t_d
-    ngt = jnp.einsum("fc,fqcd,fd->fq", n, gu, t / t2[:, None])
-    drag = jnp.sum((rho * nu * ngt * ny[:, None] - p_q * nx[:, None]) * ft.jxw)
-    lift = -jnp.sum((rho * nu * ngt * nx[:, None] + p_q * ny[:, None]) * ft.jxw)
+    # d(u.t)/dn = sum_c sum_d t_c du_c/dx_d n_d
+    tgn = jnp.einsum("fc,fqcd,fd->fq", t / t2[:, None], gu, n)
+    drag = jnp.sum((rho * nu * tgn * ny[:, None] - p_q * nx[:, None]) * ft.jxw)
+    lift = -jnp.sum((rho * nu * tgn * nx[:, None] + p_q * ny[:, None]) * ft.jxw)
     return drag, lift
 
 
