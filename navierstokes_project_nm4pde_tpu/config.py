@@ -112,11 +112,19 @@ class NumericsConfig:
     fold_elem: bool = True
     # Velocity-reduce plan: "table" (2-bucket padded [rows, K] gather
     # tables), "exact" (valence-exact buckets, zero padded rows -- measured
-    # 1.39x the table reduce at 609k DoF), or "halving" (one flat 1-D
-    # gather + contiguous pairwise halving sums, ops/scatter.py
-    # HalvingPlan).  Same roundoff class; pick by measurement on the
-    # target backend.
+    # 1.39x the table reduce at 609k DoF), "columns" (exact buckets applied
+    # as K unrolled 1-D row gathers + adds, 1.13x over "exact" standalone),
+    # or "halving" (one flat 1-D gather + contiguous pairwise halving sums,
+    # ops/scatter.py HalvingPlan).  Same roundoff class; pick by
+    # measurement on the target backend.
     reduce_plan: str = "table"
+    # Schur SpMV form in frozen-projection mode: "auto" uses the block-
+    # banded dense form (ops/banded.py -- static 128-lane tile gather +
+    # batched MXU matvec, ~10x cheaper than the row-rate-bound ELL gather)
+    # whenever the RCM band fits the dense-value budget, falling back to
+    # "ell" otherwise; "banded" requires it; "ell" keeps the bucketed ELL
+    # gather SpMV everywhere.
+    schur_spmv: str = "auto"
     # Aggregate size of the two-level Schur coarse space (ops/coarse.py):
     # n_p/agg coarse rows, dense-Cholesky-factorised per step.  Smaller
     # aggregates = stronger coarse correction = fewer Schur CG iterations

@@ -105,6 +105,11 @@ class FrozenSchur:
     diag1: jax.Array  # [n_p]
     cho_L: jax.Array | None  # coarse Cholesky factor (coarse_solve="chol")
     inv_c: jax.Array | None  # dense coarse inverse (coarse_solve="inv")
+    # Block-banded dense form of S1 (ops/banded.py): the Schur CG's SpMV as
+    # a static tile gather + batched MXU matvec instead of the row-rate-
+    # bound ELL gather.  None when the pattern is not band-limited enough
+    # or numerics.schur_spmv == "ell".
+    band: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -180,10 +185,22 @@ class NavierStokesSolver:
                 _t[0] = now
 
         cfg = self.config
+        _wants_banded = (
+            cfg.time.stepper == "projection"
+            and cfg.numerics.proj_schur == "frozen"
+            and cfg.numerics.schur_spmv in ("auto", "banded")
+        )
         if cfg.numerics.spatial_reorder:
-            # RCM gives the bounded windows the one-hot ensemble kernels
-            # need; Morton remains the single-run default ordering.
-            method = "rcm" if cfg.numerics.ensemble_onehot else "morton"
+            # RCM gives the bounded windows the one-hot ensemble kernels and
+            # the banded frozen-Schur SpMV need (Morton spans are heavy-
+            # tailed); reduce-side RCM/Morton parity was measured (18.5 vs
+            # 18.2 ms at 609k, PERFORMANCE.md), so RCM costs nothing where
+            # it is needed.  Morton remains the default otherwise.
+            method = (
+                "rcm"
+                if (cfg.numerics.ensemble_onehot or _wants_banded)
+                else "morton"
+            )
             self.mesh = self.mesh.reorder_spatial(method)
         self.space = build_taylor_hood(self.mesh)
         self.geom = cell_geometry(self.space)
@@ -239,11 +256,13 @@ class NavierStokesSolver:
                 np.asarray(self.space.cells_u), self.space.n_unodes
             )
             self.op = _dc.replace(self.op, hplan_u=hp)
-        elif cfg.numerics.reduce_plan == "exact":
+        elif cfg.numerics.reduce_plan in ("exact", "columns"):
             # Valence-exact buckets: zero padded rows in the [rows, K]
             # reduce tables.  Measured 9.05 vs 12.59 ms per 1.36M-slot
             # reduce at 609k DoF (scripts/prof_reduce2.py) -- the padded
-            # rows of the 2-bucket split were ~28% pure waste.
+            # rows of the 2-bucket split were ~28% pure waste.  "columns"
+            # applies the same buckets as K unrolled 1-D row gathers with
+            # explicit adds (7.91 vs 8.93 ms standalone).
             import dataclasses as _dc
 
             from navierstokes_project_nm4pde_tpu.ops.scatter import (
@@ -251,15 +270,18 @@ class NavierStokesSolver:
             )
 
             exact = tuple(range(2, 97))
+            mode = (
+                "columns" if cfg.numerics.reduce_plan == "columns" else "table"
+            )
             self.op = _dc.replace(
                 self.op,
                 plan_u=build_gather_plan_grouped(
                     np.asarray(self.space.cells_u).reshape(-1, 1),
-                    self.space.n_unodes, thresholds=exact,
+                    self.space.n_unodes, thresholds=exact, mode=mode,
                 ),
                 plan_p=build_gather_plan_grouped(
                     np.asarray(self.space.cells_p).reshape(-1, 1),
-                    self.space.n_pnodes, thresholds=exact,
+                    self.space.n_pnodes, thresholds=exact, mode=mode,
                 ),
             )
         if cfg.precond.s_solver.startswith("spai"):
@@ -469,11 +491,27 @@ class NavierStokesSolver:
                 inv_c = jnp.asarray(np.linalg.inv(Sc), self.dtype)
             else:
                 cho_L = jnp.asarray(np.linalg.cholesky(Sc), self.dtype)
+            band = None
+            if cfg.numerics.schur_spmv in ("auto", "banded"):
+                from navierstokes_project_nm4pde_tpu.ops.banded import (
+                    build_banded_schur,
+                )
+
+                smask = host["smask"]
+                band = build_banded_schur(
+                    host["srow"][smask], host["scol"][smask], vals1[smask],
+                    n_rows=len(diag1), dtype=self.dtype,
+                )
+                if band is None and cfg.numerics.schur_spmv == "banded":
+                    raise ValueError(
+                        "schur_spmv='banded': the RCM band is too wide for "
+                        "the dense form; use 'auto' or 'ell'"
+                    )
             self._proj_schur = FrozenSchur(
                 inv1=jnp.asarray(inv1, self.dtype),
                 vals1=jnp.asarray(vals1, self.dtype),
                 diag1=jnp.asarray(diag1, self.dtype),
-                cho_L=cho_L, inv_c=inv_c,
+                cho_L=cho_L, inv_c=inv_c, band=band,
             )
             _mark("frozen projection Schur (host assembly)")
 
@@ -854,8 +892,18 @@ class NavierStokesSolver:
             solve_c = cho_solve_c((pst.schur_cho_L, True))
             upd_inv = pst.schur_inv
 
-        def S(pv):
-            return schur_ell_matvec(op.schur, s_vals, pv)
+        if fz is not None and fz.band is not None:
+            from navierstokes_project_nm4pde_tpu.ops.banded import (
+                banded_matvec,
+            )
+
+            def S(pv):
+                return banded_matvec(fz.band, pv)
+
+        else:
+
+            def S(pv):
+                return schur_ell_matvec(op.schur, s_vals, pv)
 
         inv_d = 1.0 / s_diag
 

@@ -7,6 +7,8 @@ identical row counts.  Candidates measured here, standalone at bench size:
   exact        valence-exact grouped buckets (zero padded rows)
   transposed   [K, rows] access order (column-major gather, sum axis 0)
   segsum       sorted-contribution jax.ops.segment_sum(indices_are_sorted)
+  columns      valence-exact buckets applied as K UNROLLED 1-D row gathers
+               (each a pure row-copy at the forward rate?) + adds
   fwd          the forward gather u[cells] for the rate reference
 
 Usage: python scripts/prof_reduce2.py [lc] [nz]
@@ -122,6 +124,27 @@ def main():
 
     results["transposed"] = timeit(transposed, op.plan_u, u0)
 
+    # K unrolled single-column gathers per bucket: every gather is a pure
+    # [rows]-indexed row copy (the forward gather's access pattern), the
+    # row sum becomes explicit adds between gathers.
+    def columns(plan, v):
+        fl = synth_flat(v)
+        padded = jnp.concatenate(
+            [fl, jnp.zeros((1, fl.shape[1]), fl.dtype)], axis=0
+        )
+        outs = []
+        for tab in plan.slots:
+            acc = padded[tab[:, 0]]
+            for k in range(1, tab.shape[1]):
+                acc = acc + padded[tab[:, k]]
+            outs.append(acc)
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        if plan.row_unperm is not None:
+            out = out[plan.row_unperm]
+        return out
+
+    results["columns_exact"] = timeit(columns, plan_exact, u0)
+
     # sorted segment sum (gather into sorted order, then segment-reduce)
     def segsum(data, v):
         order_, ids_ = data
@@ -145,7 +168,16 @@ def main():
         flat[order_dev], sorted_ids_dev, num_segments=n,
         indices_are_sorted=True,
     )
-    for name, got in (("exact", got_e), ("transposed", got_t), ("segsum", got_s)):
+    pad_e = jnp.concatenate([flat, jnp.zeros((1, d), flat.dtype)], axis=0)
+    outs_c = []
+    for tab in plan_exact.slots:
+        acc = pad_e[tab[:, 0]]
+        for k in range(1, tab.shape[1]):
+            acc = acc + pad_e[tab[:, k]]
+        outs_c.append(acc)
+    got_cols = jnp.concatenate(outs_c, axis=0)[plan_exact.row_unperm]
+    for name, got in (("exact", got_e), ("transposed", got_t),
+                      ("segsum", got_s), ("columns", got_cols)):
         err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
         assert err < 1e-5, (name, err)
     print("# all variants == table reduce (to roundoff)", file=sys.stderr)
