@@ -477,10 +477,14 @@ class NavierStokesSolver:
             # stay on the host and only the [n_slots] values + the tiny
             # coarse factor are transferred -- the device-assembly path
             # shipped ~230 MB of setup-only tables through the tunnel.
+            # build_operator's frozen SpGEMM path precomputes `vals1`; the
+            # fallback covers operators built with device assembly on.
             host = self._schur_host
             mask_np = np.asarray(mask, dtype=bool)
             inv1 = np.where(mask_np, 0.0, 1.0 / host["diagM"])
-            vals1 = host_assemble_schur_values(host, inv1)
+            vals1 = host.get("vals1")
+            if vals1 is None:
+                vals1 = host_assemble_schur_values(host, inv1)
             diag1 = vals1[host["diag_slot"]]
             diag1 = np.where(diag1 > 0, diag1, 1.0)
             Sc = host_coarse_dense(

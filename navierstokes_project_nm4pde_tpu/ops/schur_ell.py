@@ -208,6 +208,138 @@ def build_schur_ell(
     return schur, host
 
 
+def build_schur_frozen(
+    D_cols: np.ndarray,
+    D_vals: np.ndarray,
+    inv_dF: np.ndarray,
+    n_unodes: int,
+    dtype=jnp.float32,
+):
+    """Frozen-path builder: pattern AND values of S1 = D diag(inv) D^T in
+    one scipy SpGEMM per velocity component.
+
+    The generic `build_schur_ell` enumerates every velocity-node pair to
+    build the per-step reassembly tables -- O(sum_k cnt(k)^2) ~ tens of
+    millions of int64 numpy temporaries, measured 207 s at 609k DoF on a
+    1-core host.  The frozen projection Schur never reassembles, so the
+    pair tables are pure waste there: Gustavson SpGEMM inside scipy gives
+    the pattern and float64 values together in ~2 s.  The ELL slot layout
+    rules (valence buckets, row permutation, sorted columns within a row)
+    match `build_schur_ell`'s; the pattern itself may be TIGHTER (scipy
+    prunes numerically-zero entries, e.g. pairs only sharing Dirichlet-
+    masked velocity nodes) -- the same exact operator with fewer slots.
+
+    Returns (SchurELL without assembly tables, host dict with `vals1`).
+    """
+    import scipy.sparse as sp
+
+    n_p, Wd, dim = D_vals.shape
+    real = np.abs(D_vals).sum(axis=2) > 0
+    ridx, widx = np.nonzero(real)
+    kcol = D_cols[ridx, widx]
+
+    S = None
+    for d in range(dim):
+        Dd = sp.csr_matrix(
+            (D_vals[ridx, widx, d], (ridx, kcol)), shape=(n_p, n_unodes)
+        )
+        Ds = Dd.copy()
+        Ds.data = Ds.data * inv_dF[Ds.indices]
+        Sd = Ds @ Dd.T
+        S = Sd if S is None else S + Sd
+    # scipy's SpGEMM (and sparse add) prunes numerically-zero entries (e.g.
+    # pairs whose only shared velocity nodes are Dirichlet-masked).  That is
+    # the exact same operator with a tighter pattern -- keep it -- but the
+    # diagonal slot of every row must exist for the Jacobi diag extraction,
+    # so missing diagonals are re-injected through the COO constructor
+    # (which sums duplicates but never prunes explicit zeros).
+    S = S.tocoo()
+    has_diag = np.zeros(n_p, dtype=bool)
+    has_diag[S.row[S.row == S.col]] = True
+    missing = np.nonzero(~has_diag)[0]
+    if len(missing):
+        S = sp.csr_matrix(
+            (
+                np.concatenate([S.data, np.zeros(len(missing))]),
+                (
+                    np.concatenate([S.row, missing]),
+                    np.concatenate([S.col, missing]),
+                ),
+            ),
+            shape=(n_p, n_p),
+        )
+    else:
+        S = S.tocsr()
+    S.sum_duplicates()
+    S.sort_indices()
+    counts = np.diff(S.indptr)
+
+    # --- identical valence-bucketed layout to build_schur_ell -------------
+    thresholds = (32,)
+    kmax = int(counts.max()) if n_p else 1
+    widths = [t for t in thresholds if t < kmax] + [max(kmax, 1)]
+    cls = np.searchsorted(np.asarray(widths), counts)
+    row_order = np.argsort(cls, kind="stable")
+    unperm = np.empty(n_p, dtype=np.int64)
+    unperm[row_order] = np.arange(n_p)
+    Wb = np.asarray(widths)[cls]
+    base_grouped = np.concatenate([[0], np.cumsum(Wb[row_order])[:-1]])
+    base = np.empty(n_p, dtype=np.int64)
+    base[row_order] = base_grouped
+    n_slots = int(Wb.sum())
+
+    nnz = int(S.indptr[-1])
+    erow = np.repeat(np.arange(n_p, dtype=np.int64), counts)
+    slot_in_row = np.arange(nnz, dtype=np.int64) - S.indptr[:-1][erow]
+    flat_slot = base[erow] + slot_in_row
+
+    vals1 = np.zeros(n_slots)
+    vals1[flat_slot] = S.data
+
+    cols_t, mask_t, slot_base = [], [], []
+    off = 0
+    for bnum, W in enumerate(widths):
+        rows_b = row_order[cls[row_order] == bnum]
+        cb = np.tile(rows_b[:, None], (1, W))  # pad: own row id
+        mb = np.zeros((len(rows_b), W))
+        sel = cls[erow] == bnum
+        pos_in_bucket = (base[erow[sel]] - off) // W
+        cb[pos_in_bucket, slot_in_row[sel]] = S.indices[sel]
+        mb[pos_in_bucket, slot_in_row[sel]] = 1.0
+        cols_t.append(cb)
+        mask_t.append(mb)
+        slot_base.append(off)
+        off += len(rows_b) * W
+
+    is_diag = S.indices == erow
+    assert np.array_equal(
+        np.bincount(erow[is_diag], minlength=n_p), np.ones(n_p, np.int64)
+    ), "every S1 row needs exactly one diagonal slot"
+    diag_slot = np.zeros(n_p, dtype=np.int64)
+    diag_slot[erow[is_diag]] = flat_slot[is_diag]
+
+    srow = np.concatenate([
+        np.repeat(row_order[cls[row_order] == bnum], W)
+        for bnum, W in enumerate(widths)
+    ])
+    host = dict(
+        vals1=vals1,
+        diag_slot=diag_slot,
+        n_slots=n_slots,
+        srow=srow,
+        scol=np.concatenate([c.reshape(-1) for c in cols_t]),
+        smask=np.concatenate([m.reshape(-1) > 0 for m in mask_t]),
+    )
+    schur = SchurELL(
+        cols=tuple(jnp.asarray(c, jnp.int32) for c in cols_t),
+        mask=tuple(jnp.asarray(m, dtype) for m in mask_t),
+        row_unperm=jnp.asarray(unperm, jnp.int32),
+        slot_base=tuple(slot_base),
+        prod_vals=None, prod_k=None, plan=None, mirror=None, diag_slot=None,
+    )
+    return schur, host
+
+
 def host_assemble_schur_values(host: dict, inv_dF: np.ndarray) -> np.ndarray:
     """Numpy mirror of `assemble_schur_values` over the host tables (one-time
     frozen-Schur setup; float64 accumulation)."""

@@ -105,3 +105,48 @@ def test_twolevel_beats_jacobi():
     res2 = np.linalg.norm(np.asarray(r - S(z2) - (r - S(z2)).mean()))
     resj = np.linalg.norm(np.asarray(r - S(zj) - (r - S(zj)).mean()))
     assert res2 < resj
+
+
+def test_frozen_spgemm_matches_pair_tables():
+    """The frozen-path SpGEMM builder (build_schur_frozen) must reproduce
+    the pair-enumeration S1 as an OPERATOR: same dense matrix, diagonal,
+    and coarse reduction.  (The pattern itself may be tighter -- scipy
+    prunes entries that are numerically zero under the frozen inv.)"""
+    from navierstokes_project_nm4pde_tpu.ops.coarse import host_coarse_dense
+    from navierstokes_project_nm4pde_tpu.ops.schur_ell import (
+        host_assemble_schur_values,
+    )
+
+    def dense_S(host, vals):
+        n_p = int(host["srow"].max()) + 1
+        S = np.zeros((n_p, n_p))
+        m = host["smask"]
+        S[host["srow"][m], host["scol"][m]] = vals[m]
+        return S
+
+    mesh = cube_mesh(3).reorder_spatial()
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0, 1, 2, 4, 5])
+    op_d, host_d = ops.build_operator(
+        space, geom, mask, dtype=jnp.float64, want_host_schur=True
+    )
+    inv1 = np.where(np.asarray(mask), 0.0, 1.0 / host_d["diagM"])
+    vals_ref = host_assemble_schur_values(host_d, inv1)
+
+    op_f, host_f = ops.build_operator(
+        space, geom, mask, dtype=jnp.float64,
+        device_schur_assembly=False, want_host_schur=True,
+    )
+    S_ref = dense_S(host_d, vals_ref)
+    S_new = dense_S(host_f, host_f["vals1"])
+    np.testing.assert_allclose(S_new, S_ref, rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(
+        host_f["vals1"][host_f["diag_slot"]],
+        vals_ref[host_d["diag_slot"]],
+        rtol=1e-11, atol=1e-13,
+    )
+    assert op_f.coarse.nc == op_d.coarse.nc
+    Sc_ref = host_coarse_dense(host_d, vals_ref, op_d.coarse.nc, op_d.coarse.agg)
+    Sc_new = host_coarse_dense(host_f, host_f["vals1"], op_f.coarse.nc, op_f.coarse.agg)
+    np.testing.assert_allclose(Sc_new, Sc_ref, rtol=1e-10, atol=1e-12)
