@@ -136,6 +136,9 @@ def measure():
             schur_agg=int(os.environ.get("NS_BENCH_SCHUR_AGG", "24")),
             proj_schur=os.environ.get("NS_BENCH_PROJ_SCHUR", "frozen"),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
+            # "auto" = block-banded dense SpMV when the RCM band fits
+            # (frozen Schur only); "ell" forces the bucketed ELL form.
+            schur_spmv=os.environ.get("NS_BENCH_SCHUR_SPMV", "auto"),
         ),
     )
     solver = NavierStokesSolver(mesh, Cylinder3DProblem(test_case=2), cfg)
