@@ -38,13 +38,13 @@ def _budget() -> float:
 def measure():
     lc = float(os.environ.get("NS_BENCH_LC", "0.024"))
     nz = int(os.environ.get("NS_BENCH_NZ", "14"))  # 965k DoF (the metric's ~1M)
-    n_steps = int(os.environ.get("NS_BENCH_STEPS", "20"))
+    n_steps = int(os.environ.get("NS_BENCH_STEPS", "40"))
     # Chunk length trades the ~0.85 s tunneled per-dispatch overhead
-    # (measured: 1.90 -> 2.03 steps/s at 609k going 10 -> 20) against the
-    # ~2 min device watchdog (a 20-step chunk is ~20 s at 965k); keep
-    # n_steps a MULTIPLE of chunk or the odd remainder compiles inside the
-    # timed run.  20x20 = one timed program.
-    chunk = int(os.environ.get("NS_BENCH_CHUNK", "20"))
+    # (measured at 965k banded: 2.105 steps/s at 20-chunks -> 2.306 at
+    # 40-chunks) against the ~2 min device watchdog (a 40-step warm chunk
+    # is ~17 s at 965k); keep n_steps a MULTIPLE of chunk or the odd
+    # remainder compiles inside the timed run.  40x40 = one timed program.
+    chunk = int(os.environ.get("NS_BENCH_CHUNK", "40"))
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))

@@ -82,7 +82,14 @@ def test_matches_monolithic_on_cylinder():
     # functional agreement (startup transient: O(dt) splitting error)
     assert np.allclose(d_p.c_d[-1], d_m.c_d[-1], rtol=0.05)
     assert np.allclose(d_p.delta_p[-1], d_m.delta_p[-1], rtol=0.05)
-    u_m, u_p = np.asarray(st_m.u), np.asarray(st_p.u)
+    # The two solvers may use different spatial orderings (the frozen+
+    # banded projection path forces RCM, monolithic keeps Morton), so the
+    # velocity fields are aligned by node coordinates before comparing.
+    def by_coords(solver, u):
+        c = np.asarray(solver.space.unode_coords)
+        return np.asarray(u)[np.lexsort(c.T)]
+
+    u_m, u_p = by_coords(sm, st_m.u), by_coords(sp, st_p.u)
     assert np.linalg.norm(u_p - u_m) / np.linalg.norm(u_m) < 0.15
     # the projected velocity is at least as divergence-free as monolithic
     et = build_error_tables(sp.space, sp.geom, degree=4, dtype=np.float64)
@@ -103,7 +110,9 @@ def test_splitting_error_is_first_order_in_dt():
             cfg = make_config(stepper, dt=dt, t_end=T, rtol=1e-11, chunk=n)
             s = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=3), cfg)
             state, _ = s.run(n)
-            res[stepper] = np.asarray(state.u)
+            # align orderings (projection forces RCM, monolithic Morton)
+            c = np.asarray(s.space.unode_coords)
+            res[stepper] = np.asarray(state.u)[np.lexsort(c.T)]
         gaps.append(
             np.linalg.norm(res["projection"] - res["monolithic"])
             / np.linalg.norm(res["monolithic"])
@@ -134,7 +143,16 @@ def test_frozen_schur_matches_per_step():
         )
         s = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
         state, diags = s.run(4)
-        results[name] = (np.asarray(state.u), np.asarray(state.p), diags)
+        # align orderings (the frozen+banded path forces RCM; "step" keeps
+        # Morton) by sorting nodes on coordinates
+        up = np.lexsort(np.asarray(s.space.unode_coords).T)
+        # pressure nodes are the mesh vertices (vertices-first contract)
+        pp = np.lexsort(
+            np.asarray(s.space.unode_coords[: s.space.n_pnodes]).T
+        )
+        results[name] = (
+            np.asarray(state.u)[up], np.asarray(state.p)[pp], diags
+        )
         if proj_schur == "frozen":
             assert s._dev.proj_schur is not None
             assert (s._dev.proj_schur.inv_c is None) == (coarse_solve == "chol")
