@@ -48,7 +48,10 @@ def measure():
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
-    restart = int(os.environ.get("NS_BENCH_RESTART", "20"))
+    # Warm FGMRES converges in 3-6 iterations, but the CGS2 passes read the
+    # FULL [restart+1, n] basis every iteration: restart 20 -> 8 measured
+    # 2.306 -> 2.431 steps/s at 965k with identical iteration counts.
+    restart = int(os.environ.get("NS_BENCH_RESTART", "8"))
     # Cap outer iterations: the impulsive first chunk would otherwise run
     # far past the warm counts (and the ~2 min device watchdog at >=600k
     # DoF).  60 leaves the additive-Schur CG headroom -- at 40 the first
@@ -67,6 +70,10 @@ def measure():
     # tolerance, validated to the same ES orders / DFG coefficients) or
     # "monolithic" (reference-parity saddle-point FGMRES).
     stepper = os.environ.get("NS_BENCH_STEPPER", "projection")
+    # "implicit" (reference-parity linearised convection inside F) or
+    # "explicit" (C(w)w in the rhs; constant SPD velocity block solved by
+    # CG -- projection only, CFL-safe at the 3D benchmark's dt=2e-4).
+    conv_mode = os.environ.get("NS_BENCH_CONV", "implicit")
     # Velocity-solve preconditioner strength: in projection mode plain
     # Jacobi (f_iters=0) measured fastest (PERFORMANCE.md round 2); the
     # monolithic Yosida path needs the inner 4-iteration GMRES smoother.
@@ -104,7 +111,7 @@ def measure():
     t0 = time.time()
     mesh = cylinder_duct_3d(lc=lc, nz=nz)
     cfg = RunConfig(
-        time=TimeConfig(dt=2e-4, t_end=4.0, stepper=stepper),
+        time=TimeConfig(dt=2e-4, t_end=4.0, stepper=stepper, convection=conv_mode),
         solver=SolverConfig(
             rtol=1e-6, restart=restart, maxiter=maxiter, tol_mode=tol_mode,
             # quadratic VELOCITY warm start (pressure increment stays

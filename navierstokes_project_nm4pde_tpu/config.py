@@ -180,6 +180,18 @@ class TimeConfig:
     # fewer operator applies at an O(dt^2) incremental splitting error
     # (subdominant to the scheme's own O(dt) at benchmark step sizes).
     stepper: str = "monolithic"
+    # Convection treatment in the projection stepper.  "implicit": the
+    # linearised C(w) sits inside the velocity block (the reference's
+    # scheme, ref: src/NavierStokes2D.cpp:253) -- F is nonsymmetric and
+    # rebuilt every step.  "explicit": C(w) w moves to the rhs (classic
+    # BDF2/AB2 splitting, same formal order as the linearised scheme);
+    # the velocity block becomes the CONSTANT SPD operator
+    # K = M/dt_eff + nu A, solved by CG -- no per-step convection fold,
+    # constant Jacobi diagonal, and (with f_solver="banded") a frozen
+    # block-banded dense SpMV.  Subject to a convective CFL limit
+    # (~u dt/h <~ 1): safe at the 3D benchmark's dt=2e-4, NOT for the 2D
+    # reference runs at dt=0.01.  Projection stepper only.
+    convection: str = "implicit"
 
     @property
     def n_steps(self) -> int:

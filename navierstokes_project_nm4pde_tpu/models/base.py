@@ -185,6 +185,14 @@ class NavierStokesSolver:
                 _t[0] = now
 
         cfg = self.config
+        if cfg.time.convection not in ("implicit", "explicit"):
+            raise ValueError(f"unknown convection mode: {cfg.time.convection}")
+        if cfg.time.convection == "explicit" and cfg.time.stepper != "projection":
+            raise ValueError(
+                "convection='explicit' requires the projection stepper "
+                "(the monolithic saddle-point path keeps the reference's "
+                "linearised-implicit convection)"
+            )
         _wants_banded = (
             cfg.time.stepper == "projection"
             and cfg.numerics.proj_schur == "frozen"
@@ -818,8 +826,14 @@ class NavierStokesSolver:
         dt = cfg.time.dt
         t_new = (state.step.astype(self.dtype) + 1.0) * dt
         w, hist, dt_eff = self._bdf_terms(state, dt)
-        fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
-        conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
+        explicit = cfg.time.convection == "explicit"
+        if explicit:
+            # C(w) w moves to the rhs (one fused element pass per step);
+            # the velocity block is the constant SPD K = M/dt_eff + nu A.
+            conv = None
+        else:
+            fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
+            conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
         fz = dev.proj_schur
         pst = build_precond_state(
             op, nu, dt_eff, conv, "yosida",
@@ -832,6 +846,10 @@ class NavierStokesSolver:
         # ---- 1. tentative velocity ------------------------------------
         # rhs = M h - G p_n in one fused element pass (reductions dominate)
         rhs_u = ops.apply_mass_minus_gradient(op, hist, state.p)
+        if explicit:
+            rhs_u = rhs_u - ops.apply_convection_self(
+                op, w, backflow=dev.backflow
+            )
         ext = self._external_rhs(t_new, dev)
         if ext is not None:
             rhs_u = rhs_u + ext
@@ -865,15 +883,36 @@ class NavierStokesSolver:
         b_flat = rhs_u.reshape(-1)
         r0 = b_flat - Fop(u0.reshape(-1))
         tol_kw = self._tol_kwargs(b_flat)
-        du, info_f = fgmres(
-            Fop,
-            r0,
-            M=Mf,
-            restart=cfg.solver.restart,
-            maxiter=cfg.solver.maxiter,
-            precise=cfg.numerics.precise_dots,
-            **tol_kw,
-        )
+        if explicit:
+            # K is SPD on the free subspace (r0 vanishes on Dirichlet rows,
+            # so CG iterates stay there and the row-masked operator is
+            # symmetric on the Krylov space): CG instead of FGMRES -- no
+            # basis matmuls, ~4 fixed-cost ops per iteration.
+            if tol_kw.get("tol_mode") == "abs":
+                cg_rtol, cg_atol = 0.0, jnp.maximum(
+                    jnp.asarray(tol_kw["rtol"], b_flat.dtype), tol_kw["atol"]
+                )
+            else:  # relative to the increment rhs r0 (cg's own b)
+                cg_rtol, cg_atol = tol_kw["rtol"], tol_kw["atol"]
+            du, info_f = cg(
+                Fop,
+                r0,
+                M=Mf,
+                rtol=cg_rtol,
+                atol=cg_atol,
+                maxiter=cfg.solver.maxiter,
+                precise=cfg.numerics.precise_dots,
+            )
+        else:
+            du, info_f = fgmres(
+                Fop,
+                r0,
+                M=Mf,
+                restart=cfg.solver.restart,
+                maxiter=cfg.solver.maxiter,
+                precise=cfg.numerics.precise_dots,
+                **tol_kw,
+            )
         u_star = u0 + du.reshape(n, d)
 
         # ---- 2. pressure Poisson in the assembled Schur space ----------

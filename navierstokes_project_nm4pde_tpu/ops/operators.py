@@ -482,6 +482,41 @@ def convection_setup(
     )
 
 
+def apply_convection_self(
+    op: NSOperator, w: jax.Array, backflow: BackflowTables | None = None
+) -> jax.Array:
+    """y = C(w) w: the explicit-convection rhs term, fused.
+
+    One DoF gather + one reduction per STEP (vs the implicit scheme's
+    per-iteration convection inside F): evaluates ((w.grad)w, v) +
+    0.5((div w) w, v) (the Temam term, ref: src/NavierStokes2D.cpp:256)
+    directly at quadrature points without materialising ConvectionData
+    (no diagC reduction, no fold).  With `backflow`, the open-boundary
+    stabilisation -rho/2 min(w.n, 0)(w, v) is evaluated on w as well."""
+    w_e = gather_u(op, w)
+    w_q = jnp.einsum("qi,eic->eqc", op.PHI_U, w_e)
+    wtilde = jnp.einsum("ekd,eqd->eqk", op.Jinv, w_q)
+    WG = jnp.einsum("qik,eqk->eqi", op.GRAD_U, wtilde)
+    gref = jnp.einsum("qik,eic->eqkc", op.GRAD_U, w_e)
+    divw = jnp.einsum("eqkc,ekc->eq", gref, op.Jinv)
+    dir_q = jnp.einsum("eqi,eic->eqc", WG, w_e)
+    r = dir_q + 0.5 * divw[:, :, None] * w_q
+    y_e = jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
+    y = scatter_u(op, y_e)
+    if backflow is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+        w_f = w[backflow.cells_u]
+        w_qf = jnp.einsum("fqi,fic->fqc", backflow.phi_u, w_f)
+        un = jnp.einsum("fqc,fc->fq", w_qf, backflow.normal)
+        coef = -0.5 * jnp.minimum(un, 0.0) * backflow.jxw
+        y_f = jnp.einsum("fq,fqi,fqc->fic", coef, backflow.phi_u, w_qf)
+        y = y + apply_gather_plan(
+            backflow.plan, y_f.reshape(-1, y_f.shape[-1])
+        ).astype(y.dtype)
+    return y
+
+
 def apply_convection(op: NSOperator, conv: ConvectionData, u: jax.Array) -> jax.Array:
     """y = C(w) u = ((w.grad)u, v) + 0.5((div w) u, v)."""
     u_e = gather_u(op, u)

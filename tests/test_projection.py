@@ -208,3 +208,64 @@ def test_quadratic_guess_preserves_trajectory():
     np.testing.assert_array_equal(
         np.asarray(loaded.u_prev2), np.asarray(state2.u_prev2)
     )
+
+
+def test_explicit_convection_matches_implicit():
+    """convection="explicit" (C(w)w in the rhs, CG on the constant SPD
+    K = M/dt_eff + nu A) must (a) preserve the Ethier-Steinman spatial
+    orders and (b) track the implicit-convection projection solution on
+    the DFG startup to the O(dt) extrapolation difference at CFL << 1."""
+    import dataclasses
+
+    def with_explicit(cfg):
+        return dataclasses.replace(
+            cfg, time=dataclasses.replace(cfg.time, convection="explicit")
+        )
+
+    # (a) ES ladder, one step: same order gate as the implicit test above
+    DT = 4e-4
+    errs = []
+    for n in (2, 4):
+        cfg = with_explicit(make_config("projection", DT, DT, chunk=1))
+        solver = NavierStokesSolver(cube_mesh(n), EthierSteinmanProblem(), cfg)
+        state, _ = solver.run(1)
+        et = build_error_tables(solver.space, solver.geom, degree=5, dtype=np.float64)
+        l2, h1 = velocity_error_norms(
+            et, state.u, exact_velocity, exact_velocity_gradient, float(state.t)
+        )
+        errs.append((float(l2), float(h1)))
+    assert np.log2(errs[0][0] / errs[1][0]) > 2.4, errs
+    assert np.log2(errs[0][1] / errs[1][1]) > 1.6, errs
+
+    # (b) DFG startup at small dt: explicit vs implicit convection
+    mesh = cylinder_channel_2d(lc=0.1)
+    T, dt = 0.01, 0.00125  # convective CFL ~ u dt / h ~ 0.03
+    n = round(T / dt)
+    res = {}
+    for conv_mode in ("implicit", "explicit"):
+        cfg = make_config("projection", dt=dt, t_end=T, rtol=1e-11, chunk=n)
+        cfg = dataclasses.replace(
+            cfg, time=dataclasses.replace(cfg.time, convection=conv_mode)
+        )
+        s = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, diags = s.run(n)
+        c = np.asarray(s.space.unode_coords)
+        res[conv_mode] = np.asarray(state.u)[np.lexsort(c.T)]
+        assert np.all(np.isfinite(res[conv_mode]))
+    gap = np.linalg.norm(res["explicit"] - res["implicit"]) / np.linalg.norm(
+        res["implicit"]
+    )
+    assert gap < 0.02, gap
+
+
+def test_explicit_convection_requires_projection():
+    import dataclasses
+
+    cfg = make_config("monolithic", dt=0.01, t_end=0.01)
+    cfg = dataclasses.replace(
+        cfg, time=dataclasses.replace(cfg.time, convection="explicit")
+    )
+    with pytest.raises(ValueError, match="projection"):
+        NavierStokesSolver(
+            cylinder_channel_2d(lc=0.15), Cylinder2DProblem(test_case=2), cfg
+        )
