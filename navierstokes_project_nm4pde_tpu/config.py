@@ -183,14 +183,15 @@ class TimeConfig:
     # Convection treatment in the projection stepper.  "implicit": the
     # linearised C(w) sits inside the velocity block (the reference's
     # scheme, ref: src/NavierStokes2D.cpp:253) -- F is nonsymmetric and
-    # rebuilt every step.  "explicit": C(w) w moves to the rhs (classic
-    # BDF2/AB2 splitting, same formal order as the linearised scheme);
+    # rebuilt every step; unconditionally stable.  "explicit": the true
+    # AB2 combination 2 N(u^n) - N(u^{n-1}) moves to the rhs (IMEX-BDF2);
     # the velocity block becomes the CONSTANT SPD operator
-    # K = M/dt_eff + nu A, solved by CG -- no per-step convection fold,
-    # constant Jacobi diagonal, and (with f_solver="banded") a frozen
-    # block-banded dense SpMV.  Subject to a convective CFL limit
-    # (~u dt/h <~ 1): safe at the 3D benchmark's dt=2e-4, NOT for the 2D
-    # reference runs at dt=0.01.  Projection stepper only.
+    # K = M/dt_eff + nu A, solved by CG with no per-step convection fold
+    # and a constant Jacobi diagonal.  Subject to the convective CFL limit
+    # of the FINEST cells (P2 factor ~4: dt <~ 0.1 h_min / u_max --
+    # measured: the graded 47k DFG duct is stable at dt=2e-4 and diverges
+    # at 5e-4; the 965k duct diverges already at 2e-4, so this mode does
+    # NOT serve the ~1M-DoF benchmark).  Projection stepper only.
     convection: str = "implicit"
 
     @property

@@ -87,6 +87,12 @@ class State:
     p_prev: jax.Array | None = None  # p^{n-1} (guess extrapolation)
     u_prev2: jax.Array | None = None  # u^{n-2} (guess_order=2 only)
     p_prev2: jax.Array | None = None  # reserved (quadratic p guess: measured loss)
+    # N(u^{n-1}) = C(u^{n-1}) u^{n-1} (explicit-convection history).  The
+    # true AB2 rhs is 2 N(u^n) - N(u^{n-1}): N is QUADRATIC, so evaluating
+    # C(w)w at the extrapolated w = 2u^n - u^{n-1} is NOT second order --
+    # its leading term is 4 N(u^n) and it destabilises the impulsive DFG
+    # start at CFL ~ 0.15 (measured divergence at 47k and 965k DoF).
+    conv_prev: jax.Array | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -572,6 +578,10 @@ class NavierStokesSolver:
             self.config.solver.extrapolate_guess
             and self.config.solver.guess_order >= 2
         )
+        explicit_bdf2 = (
+            self.config.time.convection == "explicit"
+            and self.config.time.scheme == "bdf2"
+        )
         return State(
             u=u,
             p=p,
@@ -580,6 +590,8 @@ class NavierStokesSolver:
             u_prev=u if keep_hist else None,
             p_prev=p if self.config.solver.extrapolate_guess else None,
             u_prev2=u if quad else None,
+            # placeholder; step 0 falls back to AB1 and overwrites it
+            conv_prev=jnp.zeros_like(u) if explicit_bdf2 else None,
         )
 
     # ------------------------------------------------------------------
@@ -828,9 +840,23 @@ class NavierStokesSolver:
         w, hist, dt_eff = self._bdf_terms(state, dt)
         explicit = cfg.time.convection == "explicit"
         if explicit:
-            # C(w) w moves to the rhs (one fused element pass per step);
-            # the velocity block is the constant SPD K = M/dt_eff + nu A.
+            # Convection moves to the rhs (one fused element pass per
+            # step); the velocity block is the constant SPD
+            # K = M/dt_eff + nu A.  The rhs term must be the TRUE AB2
+            # combination 2 N(u^n) - N(u^{n-1}) (see State.conv_prev) --
+            # N(u) = C(u)u is quadratic, so C(w)w at the extrapolated w
+            # is wrong by a 4x leading term and diverges.
             conv = None
+            n_cur = ops.apply_convection_self(
+                op, state.u, backflow=dev.backflow
+            )
+            if cfg.time.scheme == "bdf2" and state.conv_prev is not None:
+                first = (state.step == 0).astype(self.dtype)
+                conv_rhs = jnp.where(
+                    first > 0, n_cur, 2.0 * n_cur - state.conv_prev
+                )
+            else:
+                conv_rhs = n_cur
         else:
             fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
             conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
@@ -847,9 +873,7 @@ class NavierStokesSolver:
         # rhs = M h - G p_n in one fused element pass (reductions dominate)
         rhs_u = ops.apply_mass_minus_gradient(op, hist, state.p)
         if explicit:
-            rhs_u = rhs_u - ops.apply_convection_self(
-                op, w, backflow=dev.backflow
-            )
+            rhs_u = rhs_u - conv_rhs
         ext = self._external_rhs(t_new, dev)
         if ext is not None:
             rhs_u = rhs_u + ext
@@ -1026,6 +1050,9 @@ class NavierStokesSolver:
             u_prev=state.u if keep_hist else None,
             p_prev=state.p if cfg.solver.extrapolate_guess else None,
             u_prev2=state.u_prev if quad else None,
+            conv_prev=(
+                n_cur if explicit and state.conv_prev is not None else None
+            ),
         )
         info = type(info_f)(
             iters=info_f.iters + info_s.iters,
