@@ -131,9 +131,10 @@ def measure():
         ),
         numerics=NumericsConfig(
             dtype="float32", precise_dots=False, steps_per_chunk=chunk,
-            # valence-exact reduce buckets: 2.151 vs 2.030 steps/s at 609k
-            # (the padded table rows were ~28% pure reduce waste)
-            reduce_plan=os.environ.get("NS_BENCH_REDUCE", "exact"),
+            # "columns": the valence-exact buckets applied as K unrolled
+            # 1-D row gathers (pure row-copy access pattern) -- measured
+            # 2.486 vs 2.431 steps/s at 965k over the 2-D "exact" tables
+            reduce_plan=os.environ.get("NS_BENCH_REDUCE", "columns"),
             # "highest" (the config default) is the correctness-validated
             # setting; NS_BENCH_PRECISION=default exposes the bf16-operand
             # mode for A/B only.

@@ -870,15 +870,25 @@ class NavierStokesSolver:
         n, d = self.space.n_unodes, self.space.dim
 
         # ---- 1. tentative velocity ------------------------------------
-        # rhs = M h - G p_n in one fused element pass (reductions dominate)
-        rhs_u = ops.apply_mass_minus_gradient(op, hist, state.p)
+        # b = M h - G p_n and the warm-start residual r0 = b - F u0 in ONE
+        # fused element pass + ONE dual-channel reduction (the reduce is
+        # row-rate bound, so the second output is free; separately they
+        # were the two largest fixed costs of the step).
+        g = self._dirichlet_values(t_new, dev)
+        u_guess, p_guess = self._warm_guess(state)
+        u0 = jnp.where(mask[:, None], g, u_guess)
+        b_u, r0_u = ops.apply_rhs_and_r0(
+            op, hist, state.p, nu, dt_eff, conv, u0
+        )
         if explicit:
-            rhs_u = rhs_u - conv_rhs
+            b_u = b_u - conv_rhs
+            r0_u = r0_u - conv_rhs
         ext = self._external_rhs(t_new, dev)
         if ext is not None:
-            rhs_u = rhs_u + ext
-        g = self._dirichlet_values(t_new, dev)
-        rhs_u = jnp.where(mask[:, None], g, rhs_u)
+            b_u = b_u + ext
+            r0_u = r0_u + ext
+        rhs_u = jnp.where(mask[:, None], g, b_u)
+        r0_u = jnp.where(mask[:, None], 0.0, r0_u)
 
         def Fop(v):
             u = v.reshape(n, d)
@@ -902,10 +912,8 @@ class NavierStokesSolver:
             ).reshape(-1)
             Mf = lambda v: minv * v  # noqa: E731
 
-        u_guess, p_guess = self._warm_guess(state)
-        u0 = jnp.where(mask[:, None], g, u_guess)
         b_flat = rhs_u.reshape(-1)
-        r0 = b_flat - Fop(u0.reshape(-1))
+        r0 = r0_u.reshape(-1)
         tol_kw = self._tol_kwargs(b_flat)
         if explicit:
             # K is SPD on the free subspace (r0 vanishes on Dirichlet rows,

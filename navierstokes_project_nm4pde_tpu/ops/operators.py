@@ -378,6 +378,56 @@ def apply_mass_minus_gradient(op: NSOperator, h: jax.Array, p: jax.Array) -> jax
     return scatter_u(op, y_e)
 
 
+def apply_rhs_and_r0(
+    op: NSOperator, h: jax.Array, p: jax.Array, nu, dt,
+    conv: "ConvectionData | None", u0: jax.Array,
+):
+    """(b, r0) = (M h - G p,  b - F u0) in ONE element pass and ONE
+    dual-channel reduction.
+
+    The projection step needs both the momentum rhs (for the absolute
+    tolerance target) and the warm-start residual; computed separately they
+    pay the row-rate-bound velocity reduction twice.  The reduction cost is
+    per ROW, not per byte, so a [n, 2*dim] payload costs the same as
+    [n, dim] -- the second reduce is free.  Dirichlet rows and the backflow
+    facet term are the caller's business (cheap vector ops)."""
+    h_e = gather_u(op, h)
+    u0_e = gather_u(op, u0)
+    p_e = gather_p(op, p)
+    b_e = jnp.einsum("ij,ejc->eic", op.MHAT, h_e) * op.detJ[:, None, None]
+    b_e = b_e + jnp.einsum(
+        "ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e
+    ) * op.detJ[:, None, None]
+    if conv is not None and conv.F_e is not None:
+        _check_fold(conv, nu, dt)
+        f_e = jnp.einsum("eij,ejc->eic", conv.F_e, u0_e)
+    else:
+        f_e = jnp.einsum("ij,ejc->eic", op.MHAT, u0_e) * (op.detJ / dt)[:, None, None]
+        f_e = f_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u0_e)
+        if conv is not None:
+            u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u0_e)
+            dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u0_e)
+            r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+            f_e = f_e + jnp.einsum(
+                "q,qi,eqc->eic", op.W, op.PHI_U, r
+            ) * op.detJ[:, None, None]
+    y_e = jnp.concatenate([b_e, b_e - f_e], axis=-1)  # [E, nloc, 2*dim]
+    y = scatter_u(op, y_e)
+    d = h.shape[1]
+    b, r0 = y[:, :d], y[:, d:]
+    if conv is not None and conv.bf_coef is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+        bf = conv.bf
+        u_f = u0[bf.cells_u]
+        u_qf = jnp.einsum("fqi,fic->fqc", bf.phi_u, u_f)
+        y_f = jnp.einsum("fq,fqi,fqc->fic", conv.bf_coef, bf.phi_u, u_qf)
+        r0 = r0 - apply_gather_plan(
+            bf.plan, y_f.reshape(-1, y_f.shape[-1])
+        ).astype(r0.dtype)
+    return b, r0
+
+
 def apply_pressure_mass(op: NSOperator, p: jax.Array) -> jax.Array:
     """y = Mp p (unscaled; the reference scales by 1/nu at assembly:
     src/NavierStokes2D.cpp:265)."""

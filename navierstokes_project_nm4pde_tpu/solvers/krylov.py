@@ -86,10 +86,17 @@ def fgmres(
     dtype = b.dtype
     if M is None:
         M = lambda v: v  # noqa: E731
+    # Zero initial guess => the initial residual IS b: skip the A(x0)
+    # apply (warm-started time stepping solves in increment form with
+    # x0 = 0, so this is the common path -- the operator apply is ~10x the
+    # cost of everything else in an iteration).
     if x0 is None:
         x0 = jnp.zeros_like(b)
+        r_init = b
+    else:
+        r_init = b - A(x0)
 
-    r0_norm = _norm(b - A(x0), precise)
+    r0_norm = _norm(r_init, precise)
     if tol_mode == "r0":
         ref_norm = r0_norm
     elif tol_mode == "b":
@@ -100,9 +107,13 @@ def fgmres(
 
     m = restart
 
-    def cycle(x):
-        """One restart cycle; returns updated x, residual norm, iters done."""
-        r = b - A(x)
+    def cycle(x, r):
+        """One restart cycle from residual `r`; returns (x, next residual
+        vector, residual norm, iters done).  The next-cycle residual is
+        reconstructed from the Arnoldi recurrence (exact in exact
+        arithmetic: r_new = g[j] * V^T Q^T e_j) instead of an extra
+        operator apply -- restarts are rare in warm-started solves and the
+        stopping value |g[j]| is unchanged."""
         beta = _norm(r, precise)
 
         V = jnp.zeros((m + 1, n), dtype)
@@ -173,19 +184,32 @@ def fgmres(
         gm = jnp.where(active, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
         x = x + Z.T @ y
-        return x, res, j
+
+        # Next-cycle residual by recurrence: beta e1 - H_bar y = Q^T e_j
+        # g[j] (the first j rotated entries vanish because y solves the
+        # triangular system exactly), so r_new = g[j] * V^T (Q^T e_j).
+        w = (jnp.arange(m + 1) == j).astype(dtype)
+        def unrotate(i2, w):
+            i = m - 1 - i2  # apply G_i^T in reverse order i = j-1 .. 0
+            wi = cs[i] * w[i] - sn[i] * w[i + 1]
+            wi1 = sn[i] * w[i] + cs[i] * w[i + 1]
+            new = w.at[i].set(wi).at[i + 1].set(wi1)
+            return jnp.where(i < j, new, w)
+        w = jax.lax.fori_loop(0, m, unrotate, w)
+        r_new = (g[j] * w) @ V
+        return x, r_new, res, j
 
     def outer_cond(carry):
-        x, res, iters = carry
+        x, r, res, iters = carry
         return (res > tol) & (iters < maxiter)
 
     def outer_body(carry):
-        x, res, iters = carry
-        x, res, j = cycle(x)
-        return x, res, iters + j
+        x, r, res, iters = carry
+        x, r, res, j = cycle(x, r)
+        return x, r, res, iters + j
 
-    x, res, iters = jax.lax.while_loop(
-        outer_cond, outer_body, (x0, r0_norm, jnp.array(0, jnp.int32))
+    x, r, res, iters = jax.lax.while_loop(
+        outer_cond, outer_body, (x0, r_init, r0_norm, jnp.array(0, jnp.int32))
     )
     return x, SolveInfo(iters=iters, residual=res)
 
@@ -209,7 +233,9 @@ def cg(
         M = lambda v: v  # noqa: E731
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    r = b - A(x0)
+        r = b  # zero guess: skip the A(x0) apply
+    else:
+        r = b - A(x0)
     z = M(r)
     p = z
     rz = _dot(r, z, precise)
