@@ -124,6 +124,13 @@ def measure():
             kind=precond, f_iters=f_iters, f_corr_iters=f_corr,
             s_iters=s_iters, s_solver=s_solver, f_solver=f_solver,
             low_precision=lowp,
+            # Skip the per-step diag(C) tabulation (a full row-rate-bound
+            # scalar reduce feeding only the Jacobi diagonal, whose
+            # convection part is near zero in the skew-symmetrised form).
+            freeze_conv_diag=(
+                os.environ.get("NS_BENCH_FREEZE_DIAG", "1") == "1"
+                and f_iters == 0
+            ),
             # additive: zero S SpMVs per preconditioner application --
             # measured 0.970 vs 0.814 steps/s at 609k (the Schur CG pays
             # 1 ELL gather per iteration instead of 3).

@@ -89,6 +89,24 @@ class PrecondConfig:
     # each Schur CG iteration drops from 3 to 1 row-rate-bound ELL
     # gathers).  Both are SPD (CG-safe).
     mg2_form: str = "v11"
+    # Projection stepper only: keep the Jacobi diagonal of F at its
+    # convection-free value diag(M/dt + nu A) instead of re-tabulating
+    # diag(C(w)) every step.  The skew-symmetrised convection + Temam form
+    # has near-zero diagonal, but computing it costs an element pass plus a
+    # full row-rate-bound scalar reduction per step.  Only valid with the
+    # plain-Jacobi velocity preconditioner (f_iters=0, f_solver="gmres"):
+    # the damped smoothers need diag(C) for their spectral-bound bump.
+    freeze_conv_diag: bool = False
+
+    def __post_init__(self):
+        if self.freeze_conv_diag and self.f_solver in (
+            "richardson", "chebyshev", "pmg"
+        ):
+            raise ValueError(
+                "freeze_conv_diag requires a Krylov velocity solve "
+                "(f_solver='gmres'): the damped smoothers' spectral bound "
+                f"needs diag(C); got f_solver={self.f_solver!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

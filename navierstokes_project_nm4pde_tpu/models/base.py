@@ -838,6 +838,17 @@ class NavierStokesSolver:
         dt = cfg.time.dt
         t_new = (state.step.astype(self.dtype) + 1.0) * dt
         w, hist, dt_eff = self._bdf_terms(state, dt)
+        mask = op.dirichlet_mask
+        n, d = self.space.n_unodes, self.space.dim
+        # Warm start / Dirichlet data up front: hist, u0 and w are all cheap
+        # node-space combinations, and the implicit path below stacks them
+        # into ONE wide gather (the gather is row-rate bound, so a [n, 3d]
+        # payload costs the same as [n, d] -- two of the step's three
+        # velocity-space gathers are free).
+        g = self._dirichlet_values(t_new, dev)
+        u_guess, p_guess = self._warm_guess(state)
+        u0 = jnp.where(mask[:, None], g, u_guess)
+        h_e = u0_e = None
         explicit = cfg.time.convection == "explicit"
         if explicit:
             # Convection moves to the rhs (one fused element pass per
@@ -859,26 +870,27 @@ class NavierStokesSolver:
                 conv_rhs = n_cur
         else:
             fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
-            conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
+            stacked = jnp.concatenate([hist, u0, w], axis=1)  # [n, 3d]
+            st_e = ops.gather_u(op, stacked)  # [E, n_loc, 3d]
+            h_e, u0_e, w_e = st_e[..., :d], st_e[..., d:2 * d], st_e[..., 2 * d:]
+            conv = ops.convection_setup(
+                op, w, backflow=dev.backflow, fold=fold, w_e=w_e,
+                with_diag=not cfg.precond.freeze_conv_diag,
+            )
         fz = dev.proj_schur
         pst = build_precond_state(
             op, nu, dt_eff, conv, "yosida",
             s_solver="mg2", f_solver=cfg.precond.f_solver,
             f_lam=dev.f_lam0, skip_schur=fz is not None,
         )
-        mask = op.dirichlet_mask
-        n, d = self.space.n_unodes, self.space.dim
 
         # ---- 1. tentative velocity ------------------------------------
         # b = M h - G p_n and the warm-start residual r0 = b - F u0 in ONE
         # fused element pass + ONE dual-channel reduction (the reduce is
         # row-rate bound, so the second output is free; separately they
         # were the two largest fixed costs of the step).
-        g = self._dirichlet_values(t_new, dev)
-        u_guess, p_guess = self._warm_guess(state)
-        u0 = jnp.where(mask[:, None], g, u_guess)
         b_u, r0_u = ops.apply_rhs_and_r0(
-            op, hist, state.p, nu, dt_eff, conv, u0
+            op, hist, state.p, nu, dt_eff, conv, u0, h_e=h_e, u0_e=u0_e
         )
         if explicit:
             b_u = b_u - conv_rhs

@@ -381,6 +381,7 @@ def apply_mass_minus_gradient(op: NSOperator, h: jax.Array, p: jax.Array) -> jax
 def apply_rhs_and_r0(
     op: NSOperator, h: jax.Array, p: jax.Array, nu, dt,
     conv: "ConvectionData | None", u0: jax.Array,
+    h_e: jax.Array | None = None, u0_e: jax.Array | None = None,
 ):
     """(b, r0) = (M h - G p,  b - F u0) in ONE element pass and ONE
     dual-channel reduction.
@@ -390,9 +391,14 @@ def apply_rhs_and_r0(
     pay the row-rate-bound velocity reduction twice.  The reduction cost is
     per ROW, not per byte, so a [n, 2*dim] payload costs the same as
     [n, dim] -- the second reduce is free.  Dirichlet rows and the backflow
-    facet term are the caller's business (cheap vector ops)."""
-    h_e = gather_u(op, h)
-    u0_e = gather_u(op, u0)
+    facet term are the caller's business (cheap vector ops).
+
+    `h_e`/`u0_e` accept pre-gathered element views of `h`/`u0`: the gather
+    is row-rate bound too, so a caller that stacks several node-space
+    vectors into one wide gather (models/base.py `_step_projection`) pays
+    for ONE gather instead of three."""
+    h_e = gather_u(op, h) if h_e is None else h_e
+    u0_e = gather_u(op, u0) if u0_e is None else u0_e
     p_e = gather_p(op, p)
     b_e = jnp.einsum("ij,ejc->eic", op.MHAT, h_e) * op.detJ[:, None, None]
     b_e = b_e + jnp.einsum(
@@ -458,7 +464,11 @@ class BackflowTables:
 class ConvectionData:
     WG: jax.Array  # [E, q, n_loc_u]  (w . grad phi_i)(x_q)
     divw: jax.Array  # [E, q]          div w (x_q)
-    diagC: jax.Array  # [n_unodes]     global diagonal of C(w)
+    # Global diagonal of C(w); None when built with with_diag=False (the
+    # projection stepper's freeze_conv_diag mode: the diagonal of the
+    # skew-symmetrised convection + Temam form is near zero, and computing
+    # it costs a full row-rate-bound scalar reduction per step).
+    diagC: jax.Array | None
     bf: BackflowTables | None = None
     bf_coef: jax.Array | None = None  # [f, q] -rho/2 min(w.n, 0) JxW
     # Folded per-element F matrices [E, n_loc_u, n_loc_u] for the (nu, dt)
@@ -482,6 +492,8 @@ def convection_setup(
     w: jax.Array,
     backflow: BackflowTables | None = None,
     fold: tuple | None = None,
+    w_e: jax.Array | None = None,
+    with_diag: bool = True,
 ) -> ConvectionData:
     """Tabulate the linearised convection + Temam term at quadrature points.
 
@@ -489,19 +501,29 @@ def convection_setup(
     (ref: src/NavierStokes2D.cpp:361-527).  With `backflow` tables, adds the
     stabilisation -rho/2 min(w.n, 0)(u, v) on the open boundary (the
     reference's dormant variant uses a 3/2 factor with BDF2 extrapolation;
-    here the standard rho/2 form acts on the same convection velocity w)."""
-    w_e = gather_u(op, w)  # [E, nu, dim]
+    here the standard rho/2 form acts on the same convection velocity w).
+
+    `w_e` accepts a pre-gathered element view of `w` (see apply_rhs_and_r0).
+    `with_diag=False` skips the diagC tabulation -- an element pass plus a
+    full row-rate-bound scalar reduction whose only consumer is the Jacobi
+    diagonal of F (the projection stepper's freeze_conv_diag mode; forced
+    on when `backflow` is present, whose facet term does shift the
+    diagonal)."""
+    if w_e is None:
+        w_e = gather_u(op, w)  # [E, nu, dim]
     w_q = jnp.einsum("qi,eic->eqc", op.PHI_U, w_e)
     wtilde = jnp.einsum("ekd,eqd->eqk", op.Jinv, w_q)
     WG = jnp.einsum("qik,eqk->eqi", op.GRAD_U, wtilde)
     gref = jnp.einsum("qik,eic->eqkc", op.GRAD_U, w_e)
     divw = jnp.einsum("eqkc,ekc->eq", gref, op.Jinv)
-    # diagonal: sum_q jxw * (WG_i * phi_i + 0.5 * divw * phi_i^2)
-    d_e = jnp.einsum(
-        "q,eqi,qi->ei", op.W, WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
-        op.PHI_U,
-    ) * op.detJ[:, None]
-    diagC = scatter_u_scalar(op, d_e)
+    diagC = None
+    if with_diag or backflow is not None:
+        # diagonal: sum_q jxw * (WG_i * phi_i + 0.5 * divw * phi_i^2)
+        d_e = jnp.einsum(
+            "q,eqi,qi->ei", op.W, WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
+            op.PHI_U,
+        ) * op.detJ[:, None]
+        diagC = scatter_u_scalar(op, d_e)
 
     bf_coef = None
     if backflow is not None:
@@ -642,7 +664,7 @@ def _check_fold(conv: ConvectionData, nu, dt) -> None:
 
 def diag_F(op: NSOperator, nu, dt, conv: ConvectionData | None) -> jax.Array:
     d = op.diagM / dt + nu * op.diagA
-    if conv is not None:
+    if conv is not None and conv.diagC is not None:
         d = d + conv.diagC
     return d
 

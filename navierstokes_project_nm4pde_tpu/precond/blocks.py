@@ -190,7 +190,7 @@ def _f_lam_bound(op, nu, dt, conv, f_solver, f_lam, inv_diag_Fhat, mask, dtype):
     over-damping costs a few percent)."""
     if f_lam is not None:
         f_lam = 1.1 * f_lam
-        if conv is not None:
+        if conv is not None and conv.diagC is not None:
             bump = jnp.max(jnp.abs(conv.diagC) * inv_diag_Fhat)
             f_lam = f_lam + 2.0 * bump
         return f_lam

@@ -213,6 +213,43 @@ def test_fused_mass_minus_gradient(setup):
     )
 
 
+def test_pregathered_element_views_match(setup):
+    """convection_setup(w_e=...) / apply_rhs_and_r0(h_e=, u0_e=) with a
+    stacked wide gather (the projection stepper's one-gather fast path)
+    must equal the internally-gathered defaults bit for bit."""
+    space, geom, op = setup
+    rng = np.random.default_rng(12)
+    d = space.dim
+    h = jnp.asarray(rng.normal(size=(space.n_unodes, d)))
+    u0 = jnp.asarray(rng.normal(size=(space.n_unodes, d)))
+    w = jnp.asarray(rng.normal(size=(space.n_unodes, d)))
+    p = jnp.asarray(rng.normal(size=space.n_pnodes))
+    nu, dt = 0.01, 0.05
+    st_e = ops.gather_u(op, jnp.concatenate([h, u0, w], axis=1))
+    h_e, u0_e, w_e = st_e[..., :d], st_e[..., d:2 * d], st_e[..., 2 * d:]
+    conv0 = ops.convection_setup(op, w, fold=(nu, dt))
+    conv1 = ops.convection_setup(op, w, fold=(nu, dt), w_e=w_e)
+    np.testing.assert_array_equal(np.asarray(conv1.F_e), np.asarray(conv0.F_e))
+    np.testing.assert_array_equal(
+        np.asarray(conv1.diagC), np.asarray(conv0.diagC)
+    )
+    b0, r00 = ops.apply_rhs_and_r0(op, h, p, nu, dt, conv0, u0)
+    b1, r01 = ops.apply_rhs_and_r0(
+        op, h, p, nu, dt, conv1, u0, h_e=h_e, u0_e=u0_e
+    )
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
+    np.testing.assert_array_equal(np.asarray(r01), np.asarray(r00))
+    # with_diag=False: identical tables, no diagC, diag_F falls back to the
+    # convection-free diagonal
+    conv2 = ops.convection_setup(op, w, with_diag=False)
+    assert conv2.diagC is None
+    np.testing.assert_array_equal(np.asarray(conv2.WG), np.asarray(conv0.WG))
+    np.testing.assert_allclose(
+        np.asarray(ops.diag_F(op, nu, dt, conv2)),
+        np.asarray(op.diagM) / dt + nu * np.asarray(op.diagA), rtol=1e-12,
+    )
+
+
 def test_schur(setup):
     space, geom, op = setup
     M, A, D, Mp = dense_blocks(space)

@@ -120,6 +120,42 @@ def test_splitting_error_is_first_order_in_dt():
     assert gaps[1] < 0.45 * gaps[0], gaps  # >= first order in dt
 
 
+def test_freeze_conv_diag_matches():
+    """freeze_conv_diag=True only changes the Jacobi PRECONDITIONER diagonal
+    (diag(C) dropped), so the converged trajectory must match the exact-diag
+    run to solver tolerance, at comparable iteration counts."""
+    import dataclasses
+
+    mesh = cylinder_channel_2d(lc=0.1)
+    out = {}
+    for freeze in (False, True):
+        cfg = make_config("projection", dt=0.01, t_end=0.05, rtol=1e-10)
+        cfg = dataclasses.replace(
+            cfg,
+            precond=dataclasses.replace(
+                cfg.precond, f_iters=0, freeze_conv_diag=freeze
+            ),
+        )
+        solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, diags = solver.run(5)
+        out[freeze] = (state, diags)
+    st0, d0 = out[False]
+    st1, d1 = out[True]
+    np.testing.assert_allclose(
+        np.asarray(st1.u), np.asarray(st0.u), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.p), np.asarray(st0.p), rtol=1e-6, atol=1e-8
+    )
+    # the weaker diagonal must not blow up the Krylov work
+    assert int(d1.iters.sum()) <= int(1.5 * d0.iters.sum()) + 5
+    # damped smoothers need diag(C): the combination is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="freeze_conv_diag"):
+        PrecondConfig(freeze_conv_diag=True, f_solver="richardson")
+
+
 def test_frozen_schur_matches_per_step():
     """proj_schur="frozen" (setup-once S1, rescaled rhs) must reproduce the
     per-step-assembled Schur path: the operators are identical up to the
