@@ -168,10 +168,12 @@ def measure():
     # ~6 steps to reach their steady 10-14 at >=600k DoF).
     warmup = int(os.environ.get("NS_BENCH_WARMUP", "8"))
     state, _ = solver.run(max(2 * chunk, warmup))
-    # Timed run.
+    # Timing honesty: solver.run device_gets every chunk's diagnostics (a
+    # host readback of program outputs), so by return the device is fully
+    # drained -- unlike block_until_ready, which the axon relay has been
+    # measured to release EARLY (0.01 ms "wait" for a 13 ms gather).
     t0 = time.perf_counter()
     state, diags = solver.run(n_steps, state=state)
-    jax.block_until_ready(state.u)
     elapsed = time.perf_counter() - t0
     steps_per_sec = n_steps / elapsed
     print(
