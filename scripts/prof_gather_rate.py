@@ -62,6 +62,52 @@ def time_gather(n_src: int, n_rows: int, c: int, reps: int = 8) -> float:
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def time_windowed(n_src: int, n_rows: int, c: int, window: int,
+                  reps: int = 8) -> float:
+    """Same total rows, but gathered block-by-block from a dynamic-sliced
+    contiguous WINDOW of the source (the candidate fix if the plain rate
+    is source-working-set bound): scan over n_blocks blocks; each block
+    dynamic-slices [window, c] from the source (contiguous HBM stream)
+    and gathers its rows from that small array with window-local indices.
+    Mirrors an RCM-localized reduce plan where every destination block's
+    contributing slots live in a bounded span."""
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(n_src, c)).astype(np.float32))
+    n_blocks = max(1, n_rows // 65536)
+    rows_per_block = n_rows // n_blocks
+    starts_np = np.linspace(
+        0, max(1, n_src - window), n_blocks
+    ).astype(np.int32)
+    local_np = rng.integers(
+        0, window, size=(n_blocks, rows_per_block)
+    ).astype(np.int32)
+    starts = jnp.asarray(starts_np)
+    local = jnp.asarray(local_np)
+
+    @jax.jit
+    def run(src, starts, local):
+        def outer(i, acc):
+            def body(carry, blk):
+                start, idx = blk
+                win = jax.lax.dynamic_slice(
+                    src, (start, 0), (window, src.shape[1])
+                )
+                rows = win[(idx + i) % window]
+                return carry + rows.sum(), None
+
+            tot, _ = jax.lax.scan(body, 0.0, (starts, local))
+            return 0.5 * acc + tot
+
+        return jax.lax.fori_loop(0, reps, outer, 0.0)
+
+    float(run(src, starts, local))
+    float(run(src, starts, local))
+    t0 = time.perf_counter()
+    float(run(src, starts, local))
+    total = n_blocks * rows_per_block
+    return (time.perf_counter() - t0) / reps * 1e3, total
+
+
 def main():
     n_rows = 2_000_000
     c = 3  # 12 B rows (the single-run velocity payload)
@@ -72,6 +118,12 @@ def main():
         ms = time_gather(n_src, n_rows, c)
         mb = n_src * 4 * c / 1e6
         print(f"{n_src:>12} {mb:>8.1f} {ms:>8.2f} {ms * 1e6 / n_rows:>8.2f}")
+    print("# windowed (dynamic-slice + local gather) from the largest source")
+    print(f"{'window':>12} {'win MB':>8} {'ms':>8} {'ns/row':>8}")
+    for window in (8_192, 32_768, 131_072, 524_288):
+        ms, total = time_windowed(2_600_000, n_rows, c, window)
+        mb = window * 4 * c / 1e6
+        print(f"{window:>12} {mb:>8.1f} {ms:>8.2f} {ms * 1e6 / total:>8.2f}")
 
 
 if __name__ == "__main__":
