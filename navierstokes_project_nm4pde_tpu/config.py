@@ -132,10 +132,16 @@ class NumericsConfig:
     # tables), "exact" (valence-exact buckets, zero padded rows -- measured
     # 1.39x the table reduce at 609k DoF), "columns" (exact buckets applied
     # as K unrolled 1-D row gathers + adds, 1.13x over "exact" standalone),
-    # or "halving" (one flat 1-D gather + contiguous pairwise halving sums,
-    # ops/scatter.py HalvingPlan).  Same roundoff class; pick by
+    # "halving" (one flat 1-D gather + contiguous pairwise halving sums,
+    # ops/scatter.py HalvingPlan), or "windowed" (scan over RCM-contiguous
+    # destination blocks, each gathering window-locally from a dynamic-
+    # sliced source window -- the gather rate is SOURCE-working-set bound,
+    # scripts/prof_gather_rate.py).  Same roundoff class; pick by
     # measurement on the target backend.
     reduce_plan: str = "table"
+    # Destination rows per windowed-reduce block (reduce_plan="windowed"):
+    # smaller blocks = smaller (faster) source windows but more scan steps.
+    windowed_rows: int = 2048
     # Schur SpMV form in frozen-projection mode: "auto" uses the block-
     # banded dense form (ops/banded.py -- static 128-lane tile gather +
     # batched MXU matvec, ~10x cheaper than the row-rate-bound ELL gather)

@@ -270,6 +270,25 @@ class NavierStokesSolver:
                 np.asarray(self.space.cells_u), self.space.n_unodes
             )
             self.op = _dc.replace(self.op, hplan_u=hp)
+        elif cfg.numerics.reduce_plan == "windowed":
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                build_windowed_plan,
+            )
+
+            self.op = _dc.replace(
+                self.op,
+                plan_u=build_windowed_plan(
+                    np.asarray(self.space.cells_u), self.space.n_unodes,
+                    splits=(self.mesh.n_vertices,),
+                    rows_per_block=cfg.numerics.windowed_rows,
+                ),
+                plan_p=build_windowed_plan(
+                    np.asarray(self.space.cells_p), self.space.n_pnodes,
+                    rows_per_block=cfg.numerics.windowed_rows,
+                ),
+            )
         elif cfg.numerics.reduce_plan in ("exact", "columns"):
             # Valence-exact buckets: zero padded rows in the [rows, K]
             # reduce tables.  Measured 9.05 vs 12.59 ms per 1.36M-slot

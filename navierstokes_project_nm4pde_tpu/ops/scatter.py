@@ -79,8 +79,10 @@ def build_gather_plan(
     )
 
 
-def apply_gather_plan(plan: GatherPlan, flat: jax.Array) -> jax.Array:
+def apply_gather_plan(plan, flat: jax.Array) -> jax.Array:
     """Reduce flat contributions [n_slots, ...] -> [n_rows, ...]."""
+    if isinstance(plan, WindowedPlan):
+        return apply_windowed_plan(plan, flat)
     pad_shape = (1,) + flat.shape[1:]
     padded = jnp.concatenate([flat, jnp.zeros(pad_shape, flat.dtype)], axis=0)
     if plan.mode == "columns":
@@ -150,6 +152,129 @@ def build_gather_plan_grouped(
         row_unperm=jnp.asarray(unperm, jnp.int32),
         mode=mode,
     )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class WindowedSeg:
+    """One row segment of a WindowedPlan (e.g. P2 vertex rows or edge rows;
+    each segment gets its own padded valence width K)."""
+
+    starts: jax.Array  # [n_blocks] int32 window start row into flat
+    table: jax.Array  # [n_blocks, rows_per_block, K] int32 WINDOW-LOCAL ids
+    mask: jax.Array  # [n_blocks, rows_per_block, K] bool (False = pad)
+    window: int = dataclasses.field(metadata=dict(static=True))
+    rows: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class WindowedPlan:
+    """Reduce plan that scans destination-row blocks, dynamic-slicing a
+    contiguous WINDOW of the flat contribution array per block and gathering
+    window-locally.
+
+    Motivation (scripts/prof_gather_rate.py): the XLA row-gather rate is
+    bound by the SOURCE working set -- ~3.3 ns/row from a <=0.5 MB window
+    vs ~7-8 ns/row from the tens-of-MB flat element-output array.  RCM
+    ordering (mesh.reorder_spatial) bounds every destination block's slot
+    span by the mesh cross-section, so each block's contributions live in
+    a small contiguous window that streams in once and stays hot."""
+
+    segs: tuple  # of WindowedSeg
+    n_slots: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_windowed_plan(
+    cells: np.ndarray,
+    n_rows: int,
+    splits: tuple = (),
+    rows_per_block: int = 2048,
+) -> WindowedPlan:
+    """Build the windowed reduce for a [F, nloc] index array.
+
+    `splits` are row boundaries separating valence regimes (e.g. P2 vertex
+    rows from edge rows) so each segment's padded width K is tight.  Rows
+    must be spatially ordered (RCM) within each segment or the windows
+    degenerate to the whole slot array."""
+    from navierstokes_project_nm4pde_tpu.mesh.native import invert_map
+
+    flat = cells.reshape(-1).astype(np.int32)
+    n_slots = flat.shape[0]
+    slots_full, counts = invert_map(flat, n_rows, pad_value=n_slots)
+
+    bounds = (0,) + tuple(splits) + (n_rows,)
+    segs = []
+    for b in range(len(bounds) - 1):
+        lo, hi = bounds[b], bounds[b + 1]
+        seg_rows = hi - lo
+        c = counts[lo:hi]
+        K = max(int(c.max()) if c.size else 1, 1)
+        tab = slots_full[lo:hi, :K].astype(np.int64)
+        valid = np.arange(K)[None, :] < c[:, None]
+
+        rpb = min(rows_per_block, max(seg_rows, 1))
+        nb = max((seg_rows + rpb - 1) // rpb, 1)
+        pad_rows = nb * rpb - seg_rows
+        if pad_rows:
+            tab = np.concatenate(
+                [tab, np.zeros((pad_rows, K), tab.dtype)], axis=0
+            )
+            valid = np.concatenate(
+                [valid, np.zeros((pad_rows, K), bool)], axis=0
+            )
+        tab3 = tab.reshape(nb, rpb, K)
+        val3 = valid.reshape(nb, rpb, K)
+
+        # per-block slot span (over valid entries only)
+        big = np.where(val3, tab3, np.int64(n_slots))
+        mn = big.reshape(nb, -1).min(axis=1)
+        small = np.where(val3, tab3, np.int64(-1))
+        mx = small.reshape(nb, -1).max(axis=1)
+        empty = mx < 0
+        mn[empty], mx[empty] = 0, 0
+        # align window starts down (cheap DMA alignment) and size the
+        # shared window to the widest block's span
+        starts = np.maximum(mn - (mn % 64), 0)
+        W = int((mx - starts).max()) + 1
+        W = min(-(-W // 64) * 64, n_slots)
+        starts = np.minimum(starts, n_slots - W)
+        local = np.where(val3, tab3 - starts[:, None, None], 0)
+        assert local.min() >= 0 and local.max() < W
+        segs.append(
+            WindowedSeg(
+                starts=jnp.asarray(starts, jnp.int32),
+                table=jnp.asarray(local, jnp.int32),
+                mask=jnp.asarray(val3),
+                window=W,
+                rows=seg_rows,
+            )
+        )
+    return WindowedPlan(segs=tuple(segs), n_slots=n_slots)
+
+
+def apply_windowed_plan(plan: WindowedPlan, flat: jax.Array) -> jax.Array:
+    """Reduce flat contributions [n_slots, ...] -> [n_rows, ...]."""
+    trail = flat.shape[1:]
+    outs = []
+    for seg in plan.segs:
+        window = seg.window
+
+        def body(carry, blk, window=window):
+            start, tab, msk = blk
+            zero = jnp.zeros((), start.dtype)
+            win = jax.lax.dynamic_slice(
+                flat,
+                (start,) + (zero,) * len(trail),
+                (window,) + trail,
+            )
+            rows = win[tab]  # [rows_per_block, K, *trail]
+            m = msk.astype(flat.dtype).reshape(msk.shape + (1,) * len(trail))
+            return carry, (rows * m).sum(axis=1)
+
+        _, o = jax.lax.scan(body, None, (seg.starts, seg.table, seg.mask))
+        outs.append(o.reshape((-1,) + trail)[: seg.rows])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 @jax.tree_util.register_dataclass

@@ -156,6 +156,28 @@ def main():
 
     results["segsum_sorted"] = timeit(segsum, (order_dev, sorted_ids_dev), u0)
 
+    # windowed reduce: scan over RCM-contiguous destination blocks, each
+    # gathering window-locally from a dynamic-sliced source window (the
+    # gather rate is source-working-set bound: prof_gather_rate.py)
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        apply_windowed_plan,
+        build_windowed_plan,
+    )
+
+    n_vert = solver.mesh.n_vertices
+    win_plans = {}
+    for rpb in (1024, 2048, 4096):
+        wp = build_windowed_plan(cells_np, n, splits=(n_vert,),
+                                 rows_per_block=rpb)
+        win_plans[rpb] = wp
+        wins = tuple(s.window for s in wp.segs)
+        print(f"# windowed rpb={rpb}: windows {wins} "
+              f"({[round(w * d * 4 / 1e6, 2) for w in wins]} MB)",
+              file=sys.stderr)
+        results[f"windowed_{rpb}"] = timeit(
+            lambda p, v: apply_windowed_plan(p, synth_flat(v)), wp, u0
+        )
+
     # correctness of each vs table
     flat = jax.random.normal(key, (n_slots, d), dtype=jnp.float32)
     ref = apply_gather_plan(op.plan_u, flat)
@@ -176,8 +198,10 @@ def main():
             acc = acc + pad_e[tab[:, k]]
         outs_c.append(acc)
     got_cols = jnp.concatenate(outs_c, axis=0)[plan_exact.row_unperm]
+    got_w = apply_windowed_plan(win_plans[2048], flat)
     for name, got in (("exact", got_e), ("transposed", got_t),
-                      ("segsum", got_s), ("columns", got_cols)):
+                      ("segsum", got_s), ("columns", got_cols),
+                      ("windowed", got_w)):
         err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
         assert err < 1e-5, (name, err)
     print("# all variants == table reduce (to roundoff)", file=sys.stderr)

@@ -322,6 +322,62 @@ def test_halving_plan_matches_table(setup):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
 
 
+def test_windowed_plan_matches_table(setup):
+    """WindowedPlan reduce == GatherPlan table reduce, for 1-D and wide
+    payloads, across block sizes that exercise block-count padding."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        apply_gather_plan,
+        apply_windowed_plan,
+        build_windowed_plan,
+    )
+
+    space, geom, op = setup
+    rng = np.random.default_rng(7)
+    n_slots = space.cells_u.size
+    for trail in ((), (space.dim,), (2 * space.dim,)):
+        flat = jnp.asarray(rng.standard_normal((n_slots,) + trail))
+        want = apply_gather_plan(op.plan_u, flat)
+        for rpb in (64, 100, 4096):  # 100: ragged final block
+            wp = build_windowed_plan(
+                np.asarray(space.cells_u), space.n_unodes,
+                splits=(space.mesh.n_vertices,), rows_per_block=rpb,
+            )
+            got = apply_windowed_plan(wp, flat)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-12
+            )
+
+
+def test_windowed_plan_wired_into_solver():
+    """reduce_plan='windowed' produces the same apply_F as the table plan
+    (dispatch through apply_gather_plan)."""
+    import dataclasses
+
+    from navierstokes_project_nm4pde_tpu.mesh import cube_mesh
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        build_windowed_plan,
+    )
+
+    mesh = cube_mesh(2)
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0])
+    op = ops.build_operator(space, geom, mask, dtype=jnp.float64)
+    wp = build_windowed_plan(
+        np.asarray(space.cells_u), space.n_unodes,
+        splits=(mesh.n_vertices,), rows_per_block=128,
+    )
+    opw = dataclasses.replace(op, plan_u=wp)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((space.n_unodes, 3)))
+    conv = ops.convection_setup(op, u, fold=(0.01, 0.1))
+    y_table = ops.apply_F(op, 0.01, 0.1, conv, u)
+    y_windowed = ops.apply_F(opw, 0.01, 0.1, conv, u)
+    np.testing.assert_allclose(
+        np.asarray(y_windowed), np.asarray(y_table), rtol=1e-12
+    )
+
+
 def test_halving_plan_wired_into_solver():
     """reduce_plan='halving' produces the same apply_F as the table plan."""
     import dataclasses
