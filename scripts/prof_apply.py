@@ -42,15 +42,16 @@ def timeit(fn, dev, u0):
             # re-normalise to keep magnitudes finite and force data flow
             return out / (1e-30 + jnp.max(jnp.abs(out)))
 
-        return jax.lax.fori_loop(0, REPS, body, u)
+        return jnp.sum(jax.lax.fori_loop(0, REPS, body, u))
 
+    # float() readback barrier: block_until_ready releases EARLY on the
+    # axon relay (measured 0.013 ms reported for a ~20 ms apply chain).
     jprog = jax.jit(prog)
-    r = jax.block_until_ready(jprog(dev, u0))  # compile
+    float(jprog(dev, u0))  # compile
+    float(jprog(dev, u0))  # settle relay caches
     t0 = time.perf_counter()
-    r = jax.block_until_ready(jprog(dev, u0))
-    el = time.perf_counter() - t0
-    del r
-    return el / REPS * 1e3  # ms per op
+    float(jprog(dev, u0))
+    return (time.perf_counter() - t0) / REPS * 1e3  # ms per op
 
 
 def main():

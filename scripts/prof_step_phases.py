@@ -49,17 +49,23 @@ REPS = 20
 
 
 def timeit(f, data, u0):
+    # NOTE: the program returns a SCALAR that the host reads back with
+    # float() -- on the axon relay block_until_ready has been measured to
+    # release EARLY (a run of this script with block_until_ready barriers
+    # reported 0.013 ms for a ~20 ms apply_F); the host readback of a
+    # value data-dependent on the whole chain is the only honest barrier.
     def prog(dd, u):
         def body(_, v):
             out = f(dd, v)
             return out / (1e-30 + jnp.max(jnp.abs(out)))
 
-        return jax.lax.fori_loop(0, REPS, body, u)
+        return jnp.sum(jax.lax.fori_loop(0, REPS, body, u))
 
     jprog = jax.jit(prog)
-    jax.block_until_ready(jprog(data, u0))
+    float(jprog(data, u0))  # compile
+    float(jprog(data, u0))  # settle relay caches
     t0 = time.perf_counter()
-    jax.block_until_ready(jprog(data, u0))
+    float(jprog(data, u0))
     return (time.perf_counter() - t0) / REPS * 1e3
 
 
