@@ -149,6 +149,10 @@ def measure():
                 "default": None, "highest": "highest",
             }[os.environ.get("NS_BENCH_PRECISION", "highest")],
             schur_agg=int(os.environ.get("NS_BENCH_SCHUR_AGG", "24")),
+            # "vpu": per-element matvecs as broadcast multiply+sum (exact
+            # f32, no MXU pass; measured faster than either einsum
+            # precision at 965k -- scripts/prof_precision.py).
+            element_contraction=os.environ.get("NS_BENCH_CONTRACT", "vpu"),
             proj_schur=os.environ.get("NS_BENCH_PROJ_SCHUR", "frozen"),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
             # "auto" = block-banded dense SpMV when the RCM band fits

@@ -142,6 +142,14 @@ class NumericsConfig:
     # Destination rows per windowed-reduce block (reduce_plan="windowed"):
     # smaller blocks = smaller (faster) source windows but more scan steps.
     windowed_rows: int = 2048
+    # Per-element contraction lowering (ops/operators.py): "vpu" evaluates
+    # the tiny [E, i, j] x [E, j, c] matvecs as broadcast multiply + sum --
+    # pure f32 VPU arithmetic, EXACT (strictly more accurate than the MXU's
+    # bf16-pass "highest" emulation) and measured faster at bench scale.
+    # "einsum" keeps the MXU lowering (the safe choice for wide vmapped
+    # ensembles, where the broadcast relies on XLA fusing the [B, E, i, j,
+    # c] product; run_ensemble forces it).
+    element_contraction: str = "vpu"
     # Schur SpMV form in frozen-projection mode: "auto" uses the block-
     # banded dense form (ops/banded.py -- static 128-lane tile gather +
     # batched MXU matvec, ~10x cheaper than the row-rate-bound ELL gather)

@@ -235,6 +235,12 @@ class NavierStokesSolver:
             want_host_schur=True,
         )
         _mark("operator (host tables + schur pattern)")
+        if cfg.numerics.element_contraction != "einsum":
+            import dataclasses as _dc
+
+            self.op = _dc.replace(
+                self.op, contraction=cfg.numerics.element_contraction
+            )
         if cfg.numerics.ensemble_onehot:
             import dataclasses as _dc
 

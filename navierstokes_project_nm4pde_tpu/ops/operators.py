@@ -101,6 +101,17 @@ class NSOperator:
     scatter_mode: str = dataclasses.field(
         default="gather", metadata=dict(static=True)
     )
+    # Element-contraction strategy (static): "vpu" evaluates the tiny
+    # per-element matvecs ([E, i, j] x [E, j, c], j = n_loc) as broadcast
+    # multiply + sum -- pure f32 VPU arithmetic, EXACT (no MXU pass), and
+    # measured faster than both the default and "highest" einsum lowerings
+    # at bench scale (scripts/prof_precision.py: 38.2 vs 39.9/42.1 ms per
+    # 965k F-apply).  "einsum" keeps the MXU lowering -- the safe choice
+    # under vmap (ensembles), where the broadcast intermediate relies on
+    # XLA fusing a [B, E, i, j, c] product.
+    contraction: str = dataclasses.field(
+        default="einsum", metadata=dict(static=True)
+    )
 
     @property
     def dim(self) -> int:
@@ -334,12 +345,48 @@ def scatter_p(op: NSOperator, y_e: jax.Array) -> jax.Array:
 
 
 # ----------------------------------------------------------------------
+# VPU-exact element contractions (see NSOperator.contraction)
+# ----------------------------------------------------------------------
+def _emv(A: jax.Array, x: jax.Array) -> jax.Array:
+    """[(E,) i, j] x [E, j, c] -> [E, i, c] as broadcast multiply + sum:
+    exactly f32 on the VPU (strictly more accurate than the MXU's
+    bf16-pass "highest" emulation) and faster at bench scale.  A may be
+    unbatched ([i, j], e.g. MHAT) -- broadcasting aligns trailing dims."""
+    return (A[..., :, :, None] * x[..., None, :, :]).sum(axis=-2)
+
+
+def _grad_p_e(op: NSOperator, p_e: jax.Array) -> jax.Array:
+    """D^T p element contribution: y[e,j,c] = sum_ki Jinv[e,k,c]
+    BHAT[k,i,j] p_e[e,i] (times detJ at the call site)."""
+    if op.contraction == "vpu":
+        # s[e,k,j] = sum_i BHAT[k,i,j] p_e[e,i]
+        s = (op.BHAT[None] * p_e[:, None, :, None]).sum(axis=2)
+        # y[e,j,c] = sum_k s[e,k,j] Jinv[e,k,c]
+        return (s[:, :, :, None] * op.Jinv[:, :, None, :]).sum(axis=1)
+    return jnp.einsum("ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e)
+
+
+def _div_u_e(op: NSOperator, u_e: jax.Array) -> jax.Array:
+    """D u element contribution: y[e,i] = sum_kjc Jinv[e,k,c] BHAT[k,i,j]
+    u_e[e,j,c] (times detJ at the call site)."""
+    if op.contraction == "vpu":
+        # t[e,k,j] = sum_c Jinv[e,k,c] u_e[e,j,c]
+        t = (op.Jinv[:, :, None, :] * u_e[:, None, :, :]).sum(axis=-1)
+        # y[e,i] = sum_kj BHAT[k,i,j] t[e,k,j]
+        return (op.BHAT[None] * t[:, :, None, :]).sum(axis=(1, 3))
+    return jnp.einsum("ekc,kij,ejc->ei", op.Jinv, op.BHAT, u_e)
+
+
+# ----------------------------------------------------------------------
 # Constant blocks
 # ----------------------------------------------------------------------
 def apply_mass(op: NSOperator, u: jax.Array) -> jax.Array:
     """y = M u (velocity mass, unscaled; scale by 1/dt at the call site)."""
     u_e = gather_u(op, u)
-    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * op.detJ[:, None, None]
+    if op.contraction == "vpu":
+        y_e = _emv(op.MHAT, u_e) * op.detJ[:, None, None]
+    else:
+        y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * op.detJ[:, None, None]
     return scatter_u(op, y_e)
 
 
@@ -353,14 +400,14 @@ def apply_stiffness(op: NSOperator, u: jax.Array) -> jax.Array:
 def apply_divergence(op: NSOperator, u: jax.Array) -> jax.Array:
     """y = D u : continuity rows (q, div u) (ref: src/NavierStokes2D.cpp:262)."""
     u_e = gather_u(op, u)
-    y_e = jnp.einsum("ekc,kij,ejc->ei", op.Jinv, op.BHAT, u_e) * op.detJ[:, None]
+    y_e = _div_u_e(op, u_e) * op.detJ[:, None]
     return scatter_p(op, y_e)
 
 
 def apply_gradient(op: NSOperator, p: jax.Array) -> jax.Array:
     """y = G p = -D^T p : momentum rows -(p, div v) (ref: src/NavierStokes2D.cpp:259)."""
     p_e = gather_p(op, p)
-    y_e = -jnp.einsum("ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e) * op.detJ[:, None, None]
+    y_e = -_grad_p_e(op, p_e) * op.detJ[:, None, None]
     return scatter_u(op, y_e)
 
 
@@ -371,10 +418,13 @@ def apply_mass_minus_gradient(op: NSOperator, h: jax.Array, p: jax.Array) -> jax
     dominate on this backend)."""
     u_e = gather_u(op, h)
     p_e = gather_p(op, p)
-    y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * op.detJ[:, None, None]
-    y_e = y_e + jnp.einsum(
-        "ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e
-    ) * op.detJ[:, None, None]
+    if op.contraction == "vpu":
+        y_e = (_emv(op.MHAT, u_e) + _grad_p_e(op, p_e)) * op.detJ[:, None, None]
+    else:
+        y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * op.detJ[:, None, None]
+        y_e = y_e + jnp.einsum(
+            "ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e
+        ) * op.detJ[:, None, None]
     return scatter_u(op, y_e)
 
 
@@ -400,13 +450,19 @@ def apply_rhs_and_r0(
     h_e = gather_u(op, h) if h_e is None else h_e
     u0_e = gather_u(op, u0) if u0_e is None else u0_e
     p_e = gather_p(op, p)
-    b_e = jnp.einsum("ij,ejc->eic", op.MHAT, h_e) * op.detJ[:, None, None]
-    b_e = b_e + jnp.einsum(
-        "ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e
-    ) * op.detJ[:, None, None]
+    if op.contraction == "vpu":
+        b_e = (_emv(op.MHAT, h_e) + _grad_p_e(op, p_e)) * op.detJ[:, None, None]
+    else:
+        b_e = jnp.einsum("ij,ejc->eic", op.MHAT, h_e) * op.detJ[:, None, None]
+        b_e = b_e + jnp.einsum(
+            "ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e
+        ) * op.detJ[:, None, None]
     if conv is not None and conv.F_e is not None:
         _check_fold(conv, nu, dt)
-        f_e = jnp.einsum("eij,ejc->eic", conv.F_e, u0_e)
+        if op.contraction == "vpu":
+            f_e = _emv(conv.F_e, u0_e)
+        else:
+            f_e = jnp.einsum("eij,ejc->eic", conv.F_e, u0_e)
     else:
         f_e = jnp.einsum("ij,ejc->eic", op.MHAT, u0_e) * (op.detJ / dt)[:, None, None]
         f_e = f_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u0_e)
@@ -618,7 +674,10 @@ def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -
         # convection_setup(..., fold=(nu, dt)) -- caller contract,
         # verified whenever both sides are concrete.
         _check_fold(conv, nu, dt)
-        y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
+        if op.contraction == "vpu":
+            y_e = _emv(conv.F_e, u_e)
+        else:
+            y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
     else:
         y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
         y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)
@@ -684,7 +743,10 @@ def apply_system(op: NSOperator, nu, dt, conv, u, p, mask_rows: bool = True):
     # F part (folded fast path when conv.F_e matches this (nu, dt))
     if conv is not None and conv.F_e is not None:
         _check_fold(conv, nu, dt)
-        y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
+        if op.contraction == "vpu":
+            y_e = _emv(conv.F_e, u_e)
+        else:
+            y_e = jnp.einsum("eij,ejc->eic", conv.F_e, u_e)
     else:
         y_e = jnp.einsum("ij,ejc->eic", op.MHAT, u_e) * (op.detJ / dt)[:, None, None]
         y_e = y_e + nu * jnp.einsum("ekl,klij,ejc->eic", op.GKd, op.AHAT, u_e)

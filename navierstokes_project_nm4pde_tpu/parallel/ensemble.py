@@ -44,11 +44,18 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
     # damped smoothers (richardson/chebyshev/pmg) diverge if lam_max is
     # underestimated.  Drop the cached bound so build_precond_state falls
     # back to its per-step power iteration, which vmaps per member.
+    import dataclasses as _dc
+
     dev_run = solver._dev
     if dev_run.f_lam0 is not None:
-        import dataclasses as _dc
-
         dev_run = _dc.replace(dev_run, f_lam0=None)
+    if dev_run.op.contraction != "einsum":
+        # The VPU broadcast contraction relies on XLA fusing an
+        # [E, i, j, c] product; under a wide vmapped batch that becomes
+        # [B, E, i, j, c] -- keep the MXU einsum lowering for ensembles.
+        dev_run = _dc.replace(
+            dev_run, op=_dc.replace(dev_run.op, contraction="einsum")
+        )
 
     vstep = jax.vmap(
         lambda st, nu, dev: solver.step(st, nu=nu, dev=dev),

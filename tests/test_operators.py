@@ -348,6 +348,35 @@ def test_windowed_plan_matches_table(setup):
             )
 
 
+def test_vpu_contraction_matches_einsum(setup):
+    """contraction='vpu' (broadcast multiply+sum) == the einsum lowering on
+    every converted operator (same products, different summation order)."""
+    import dataclasses
+
+    space, geom, op = setup
+    opv = dataclasses.replace(op, contraction="vpu")
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((space.n_unodes, space.dim)))
+    p = jnp.asarray(rng.standard_normal((space.n_pnodes,)))
+    nu, dt = 0.01, 0.1
+    conv = ops.convection_setup(op, u, fold=(nu, dt))
+    pairs = [
+        (ops.apply_mass(op, u), ops.apply_mass(opv, u)),
+        (ops.apply_divergence(op, u), ops.apply_divergence(opv, u)),
+        (ops.apply_gradient(op, p), ops.apply_gradient(opv, p)),
+        (ops.apply_mass_minus_gradient(op, u, p),
+         ops.apply_mass_minus_gradient(opv, u, p)),
+        (ops.apply_F(op, nu, dt, conv, u), ops.apply_F(opv, nu, dt, conv, u)),
+    ]
+    b0, r00 = ops.apply_rhs_and_r0(op, u, p, nu, dt, conv, u)
+    b1, r01 = ops.apply_rhs_and_r0(opv, u, p, nu, dt, conv, u)
+    pairs += [(b0, b1), (r00, r01)]
+    for want, got in pairs:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-11, atol=1e-11
+        )
+
+
 def test_windowed_plan_wired_into_solver():
     """reduce_plan='windowed' produces the same apply_F as the table plan
     (dispatch through apply_gather_plan)."""
