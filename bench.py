@@ -38,13 +38,14 @@ def _budget() -> float:
 def measure():
     lc = float(os.environ.get("NS_BENCH_LC", "0.024"))
     nz = int(os.environ.get("NS_BENCH_NZ", "14"))  # 965k DoF (the metric's ~1M)
-    n_steps = int(os.environ.get("NS_BENCH_STEPS", "40"))
+    n_steps = int(os.environ.get("NS_BENCH_STEPS", "80"))
     # Chunk length trades the ~0.85 s tunneled per-dispatch overhead
     # (measured at 965k banded: 2.105 steps/s at 20-chunks -> 2.306 at
     # 40-chunks) against the ~2 min device watchdog (a 40-step warm chunk
-    # is ~17 s at 965k); keep n_steps a MULTIPLE of chunk or the odd
-    # remainder compiles inside the timed run.  40x40 = one timed program.
-    chunk = int(os.environ.get("NS_BENCH_CHUNK", "40"))
+    # is ~19 s at 965k); keep n_steps a MULTIPLE of chunk or the odd
+    # remainder compiles inside the timed run.  80x80 = one timed
+    # program (4.1852 vs 4.1207 steps/s at 40x40, VPU build).
+    chunk = int(os.environ.get("NS_BENCH_CHUNK", "80"))
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
@@ -145,8 +146,13 @@ def measure():
             # "highest" (the config default) is the correctness-validated
             # setting; NS_BENCH_PRECISION=default exposes the bf16-operand
             # mode for A/B only.
+            # With the element contractions on the VPU (exact f32,
+            # precision-independent), the matmul precision only governs
+            # the Krylov basis projections and the banded Schur SpMV:
+            # "high" (bf16x3, ~1e-6 operator error) is a candidate vs the
+            # validated "highest" (bf16x6).
             matmul_precision={
-                "default": None, "highest": "highest",
+                "default": None, "high": "high", "highest": "highest",
             }[os.environ.get("NS_BENCH_PRECISION", "highest")],
             schur_agg=int(os.environ.get("NS_BENCH_SCHUR_AGG", "24")),
             # "vpu": per-element matvecs as broadcast multiply+sum (exact
