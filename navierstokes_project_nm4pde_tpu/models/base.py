@@ -146,6 +146,10 @@ class DeviceData:
     # Frozen projection-mode Schur data (None in monolithic mode or with
     # numerics.proj_schur == "step").
     proj_schur: "FrozenSchur | None" = None
+    # Constant GKd:AHAT element stiffness [E, nloc, nloc], precomputed once
+    # at setup for the folded convection path (None when fold_elem is off;
+    # ~400 B/cell -- the same footprint the per-step F_e fold already pays).
+    conv_base: "jax.Array | None" = None
 
 
 @jax.tree_util.register_dataclass
@@ -563,6 +567,18 @@ class NavierStokesSolver:
     def _rebuild_device_data(self):
         """(Re)collect the DeviceData pytree from solver attributes (called
         after setup and after sharding mutates the arrays)."""
+        self._conv_base = None
+        if self.config.numerics.fold_elem:
+            # Constant GKd:AHAT element stiffness, computed ONCE as an
+            # exact-f32 VPU contraction (the per-step fold used to rebuild
+            # this time-independent [E, nloc, nloc] array inside the chunk).
+            def _base(gkd, ahat):
+                return (
+                    gkd[:, :, :, None, None] * ahat[None]
+                ).sum(axis=(1, 2))
+
+            self._conv_base = jax.jit(_base)(self.op.GKd, self.op.AHAT)
+
         self._dev = DeviceData(
             op=self.op,
             bc_idx=tuple(idx for (_, idx, _) in self._bc_groups),
@@ -577,6 +593,7 @@ class NavierStokesSolver:
             ftab=self._ftab,
             f_lam0=getattr(self, "_f_lam0", None),
             proj_schur=getattr(self, "_proj_schur", None),
+            conv_base=self._conv_base,
         )
 
     # ------------------------------------------------------------------
@@ -752,7 +769,8 @@ class NavierStokesSolver:
 
         w, hist, dt_eff = self._bdf_terms(state, dt)
         fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
-        conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold)
+        conv = ops.convection_setup(op, w, backflow=dev.backflow, fold=fold,
+                                    base_e=dev.conv_base)
         pst = build_precond_state(
             op, nu, dt_eff, conv, cfg.precond.kind,
             s_solver=cfg.precond.s_solver, f_solver=cfg.precond.f_solver,
@@ -901,6 +919,7 @@ class NavierStokesSolver:
             conv = ops.convection_setup(
                 op, w, backflow=dev.backflow, fold=fold, w_e=w_e,
                 with_diag=not cfg.precond.freeze_conv_diag,
+                base_e=dev.conv_base,
             )
         fz = dev.proj_schur
         pst = build_precond_state(

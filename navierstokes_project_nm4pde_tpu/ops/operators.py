@@ -550,6 +550,7 @@ def convection_setup(
     fold: tuple | None = None,
     w_e: jax.Array | None = None,
     with_diag: bool = True,
+    base_e: jax.Array | None = None,
 ) -> ConvectionData:
     """Tabulate the linearised convection + Temam term at quadrature points.
 
@@ -597,11 +598,24 @@ def convection_setup(
     if fold is not None:
         nu, dt = fold
         F_e = op.MHAT[None] * (op.detJ / dt)[:, None, None]
-        F_e = F_e + nu * jnp.einsum("ekl,klij->eij", op.GKd, op.AHAT)
-        F_e = F_e + jnp.einsum(
-            "q,qi,eqj->eij", op.W, op.PHI_U,
-            WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
-        ) * op.detJ[:, None, None]
+        if base_e is not None:
+            # `base_e` is the constant GKd:AHAT element stiffness,
+            # precomputed ONCE at setup (models/base.py DeviceData
+            # .conv_base) -- the einsum below rebuilt a time-independent
+            # [E, nloc, nloc] array every step.
+            F_e = F_e + nu * base_e
+        else:
+            F_e = F_e + nu * jnp.einsum("ekl,klij->eij", op.GKd, op.AHAT)
+        R = WG + 0.5 * divw[:, :, None] * op.PHI_U[None]
+        if op.contraction == "vpu":
+            WPHI = op.W[:, None] * op.PHI_U  # [q, i]
+            F_e = F_e + (
+                WPHI[None, :, :, None] * R[:, :, None, :]
+            ).sum(axis=1) * op.detJ[:, None, None]
+        else:
+            F_e = F_e + jnp.einsum(
+                "q,qi,eqj->eij", op.W, op.PHI_U, R
+            ) * op.detJ[:, None, None]
         if isinstance(nu, (int, float)) and isinstance(dt, (int, float)):
             fold_static = (float(nu), float(dt))
     return ConvectionData(

@@ -116,24 +116,28 @@ def main():
 
     r["stacked_gather_3d"] = timeit(stacked_gather, op, u0)
 
-    # 2. convection fold (element pass + F_e write), frozen diag
-    def conv_fold(data, v):
-        dd, we = data
+    # 2. convection fold (element pass + F_e write), frozen diag.
+    # w_e must be v-DEPENDENT or the whole fold hoists out of the timing
+    # loop (the first run of this script reported 0.042 ms); the gather is
+    # part of the phase here (the real step amortises it via the stacked
+    # [n, 3d] gather -- subtract ~1/3 of stacked_gather_3d to compare).
+    def conv_fold(dd, v):
         cv = ops.convection_setup(dd, v, backflow=dev.backflow,
-                                  fold=(nu, dt_eff), w_e=we, with_diag=False)
-        s = jnp.sum(cv.F_e[:, 0, 0])
-        return v + s
+                                  fold=(nu, dt_eff), with_diag=False)
+        return v * (1.0 + 1e-30 * jnp.sum(cv.F_e[:, 0, 0]))
 
-    r["conv_fold"] = timeit(conv_fold, (op, w_e0), u0)
+    r["conv_fold+gather"] = timeit(conv_fold, op, u0)
 
-    # 3. fused rhs + r0 pass
+    # 3. fused rhs + r0 pass (same hoisting hazard: h/u0 element views are
+    # re-gathered from v inside the loop)
     def rhs_r0(data, v):
-        dd, cv, pp, we = data
+        dd, cv, pp = data
+        ve = ops.gather_u(dd, v)
         b, r0 = ops.apply_rhs_and_r0(dd, v, pp, nu, dt_eff, cv, v,
-                                     h_e=we, u0_e=we)
+                                     h_e=ve, u0_e=ve)
         return v + (b + r0) * 0.5
 
-    r["fused_rhs_r0"] = timeit(rhs_r0, (op, conv, p0, w_e0), u0)
+    r["fused_rhs_r0+gather"] = timeit(rhs_r0, (op, conv, p0), u0)
 
     # 4. folded F apply (one velocity Krylov iteration's operator work)
     r["apply_F"] = timeit(
@@ -192,9 +196,11 @@ def main():
     # accounting: warm step = F iters x (apply + ~2 dots + CGS basis) +
     # S iters x (spmv + precond + ~3 dots) + fixed passes
     f_it, s_it = 4.0, 8.0
-    fixed = (out["stacked_gather_3d"] + out["conv_fold"] +
-             out["fused_rhs_r0"] + out["divergence"] + out["gradient"] +
-             out["diagnostics"] + out.get("apply_F", 0.0))  # r0 recon apply
+    fixed = (out["stacked_gather_3d"] + out["conv_fold+gather"] +
+             out["fused_rhs_r0+gather"] + out["divergence"] +
+             out["gradient"] + out["diagnostics"]
+             - 2.0 * out["stacked_gather_3d"] / 3.0)  # gathers the real
+    # step amortises via the stacked [n, 3d] gather
     per_f = out["apply_F"] + 2 * out["dot_un"]
     per_s = (out.get("schur_banded_spmv", 0.0)
              + out.get("schur_precond_additive", 0.0))
