@@ -199,6 +199,25 @@ def test_folded_F_matches_unfolded(setup):
         ops.apply_F(op, nu, 2 * dt, convf, jnp.asarray(u))
 
 
+def test_fold_with_precomputed_base_matches(setup):
+    """convection_setup(fold=..., base_e=...) with the setup-time constant
+    viscous element stiffness (models/base.py DeviceData.conv_base: the
+    exact-f32 broadcast contraction of GKd with AHAT) must equal the fold
+    that rebuilds the contraction in place."""
+    space, geom, op = setup
+    rng = np.random.default_rng(21)
+    wf = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    nu, dt = 0.01, 0.05
+    base_e = (
+        op.GKd[:, :, :, None, None] * op.AHAT[None]
+    ).sum(axis=(1, 2))
+    conv0 = ops.convection_setup(op, wf, fold=(nu, dt))
+    conv1 = ops.convection_setup(op, wf, fold=(nu, dt), base_e=base_e)
+    np.testing.assert_allclose(
+        np.asarray(conv1.F_e), np.asarray(conv0.F_e), rtol=1e-12, atol=1e-14
+    )
+
+
 def test_fused_mass_minus_gradient(setup):
     """The projection rhs fusion M h - G p (one element pass + one
     reduction) must equal the two separate applies."""
