@@ -33,6 +33,37 @@ def _build_config(args, defaults):
         TimeConfig,
     )
 
+    if getattr(args, "fast", False):
+        # The benchmarked projection stack (bench.py defaults; measured
+        # 2-2.5x over the conservative library defaults at every scale).
+        # Overrides the individual solver flags it touches.
+        return RunConfig(
+            time=TimeConfig(
+                dt=args.dt, t_end=args.t_end,
+                scheme=getattr(args, "scheme", "bdf1"),
+                stepper="projection",
+            ),
+            solver=SolverConfig(
+                rtol=args.rtol, restart=8, maxiter=args.maxiter,
+                tol_mode="b", guess_order=2,
+            ),
+            precond=PrecondConfig(
+                kind="yosida", f_iters=0, s_iters=3,
+                f_solver="gmres", s_solver="mg2_cg",
+                freeze_conv_diag=True, mg2_form="additive",
+            ),
+            numerics=NumericsConfig(
+                dtype=args.dtype, precise_dots=False,
+                steps_per_chunk=args.steps_per_chunk,
+                reduce_plan="columns", proj_schur="frozen",
+                coarse_solve="chol", schur_spmv="auto",
+                ensemble_onehot=getattr(args, "onehot", False),
+            ),
+            test_case=args.test_case if hasattr(args, "test_case") else 2,
+            output_dir=args.output_dir,
+            output_every=args.output_every,
+        )
+
     return RunConfig(
         time=TimeConfig(
             dt=args.dt, t_end=args.t_end,
@@ -72,6 +103,12 @@ def _common_flags(p, dt, t_end, precond):
                    choices=["monolithic", "projection"],
                    help="monolithic saddle-point solve (reference parity) or "
                         "incremental pressure-correction splitting (faster)")
+    p.add_argument("--fast", action="store_true",
+                   help="use the benchmarked projection stack (frozen banded "
+                        "Schur + additive two-level CG, plain-Jacobi FGMRES, "
+                        "quadratic warm start, rtol vs ||b||); overrides "
+                        "--stepper/--precond/--restart/--f-iters/--s-iters/"
+                        "--f-solver/--s-solver/--tol-mode")
     p.add_argument("--rtol", type=float, default=1e-6)
     p.add_argument("--tol-mode", type=str, default="r0",
                    choices=["r0", "b", "abs"],
