@@ -160,6 +160,10 @@ def measure():
             # precision at 965k -- scripts/prof_precision.py).
             element_contraction=os.environ.get("NS_BENCH_CONTRACT", "vpu"),
             proj_schur=os.environ.get("NS_BENCH_PROJ_SCHUR", "frozen"),
+            # "auto": windowed forward element gather above the ~2-3 MB
+            # source-working-set knee (965k: 7.2 vs 11.8 ms per apply
+            # gather), plain below it (609k keeps plain).
+            gather_plan=os.environ.get("NS_BENCH_GATHER", "auto"),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
             # "auto" = block-banded dense SpMV when the RCM band fits
             # (frozen Schur only); "ell" forces the bucketed ELL form.

@@ -178,6 +178,17 @@ class NumericsConfig:
     # independent of nc, which makes much smaller aggregates (stronger
     # coarse spaces) affordable.  "inv" requires proj_schur="frozen".
     coarse_solve: str = "chol"
+    # Forward element-DoF gather plan: "plain" (u[cells]), "windowed"
+    # (per-cell-block dynamic-sliced vertex/edge windows, gathered
+    # window-locally -- ops/scatter.py WindowedGather), or "auto" (windowed
+    # iff the [n_unodes, dim] node array outgrows the fast source working
+    # set, ~2-3 MB on v5e: plain measured 11.8 ms vs windowed 7.2 per
+    # apply-gather at 965k DoF, but plain wins 3.4 vs 4.3 at 609k).
+    # Windowed requires RCM ordering and is skipped for sharded operators
+    # and vmapped ensembles.
+    gather_plan: str = "auto"
+    # Cells per windowed-gather block (gather_plan="windowed"/"auto").
+    gather_cpb: int = 4096
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

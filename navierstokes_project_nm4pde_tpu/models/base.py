@@ -208,6 +208,7 @@ class NavierStokesSolver:
             and cfg.numerics.proj_schur == "frozen"
             and cfg.numerics.schur_spmv in ("auto", "banded")
         )
+        self._reorder_method = None
         if cfg.numerics.spatial_reorder:
             # RCM gives the bounded windows the one-hot ensemble kernels and
             # the banded frozen-Schur SpMV need (Morton spans are heavy-
@@ -220,6 +221,7 @@ class NavierStokesSolver:
                 else "morton"
             )
             self.mesh = self.mesh.reorder_spatial(method)
+            self._reorder_method = method
         self.space = build_taylor_hood(self.mesh)
         self.geom = cell_geometry(self.space)
         dtags = sorted(self.problem.dirichlet.keys())
@@ -327,6 +329,43 @@ class NavierStokesSolver:
                     self.space.n_pnodes, thresholds=exact, mode=mode,
                 ),
             )
+        # Windowed forward gather (ops/scatter.py WindowedGather): pays once
+        # the [n_unodes, dim] node array outgrows the fast source working
+        # set (~2-3 MB on v5e: 7.2 vs 11.8 ms per apply-gather at 965k DoF,
+        # but 4.3 vs 3.4 at 609k -- scripts/prof_apply_split.py).  Needs the
+        # RCM ordering for bounded windows; skipped when the built windows
+        # are degenerate (unordered meshes).
+        _gp = cfg.numerics.gather_plan
+        if _gp == "auto":
+            _gp = (
+                "windowed"
+                if self.space.n_unodes * self.space.dim >= 768_000
+                and self._reorder_method == "rcm"
+                else "plain"
+            )
+        if _gp == "windowed":
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                build_windowed_gather,
+            )
+
+            wg = build_windowed_gather(
+                np.asarray(self.space.cells_u),
+                self.mesh.n_vertices,
+                self.space.n_unodes,
+                cells_per_block=cfg.numerics.gather_cpb,
+            )
+            # auto mode only pays when the windows are genuinely small
+            # (degenerate windows = unordered mesh); an explicit request
+            # is honored regardless (correct at any window size).
+            if (
+                cfg.numerics.gather_plan == "windowed"
+                or wg.window_rows <= 0.5 * self.space.n_unodes
+            ):
+                self.op = _dc.replace(self.op, wgather_u=wg)
+        elif _gp != "plain":
+            raise ValueError(f"unknown gather_plan: {cfg.numerics.gather_plan}")
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 
@@ -951,6 +990,17 @@ class NavierStokesSolver:
             y = ops.apply_F(op, nu, dt_eff, conv, u)
             return jnp.where(mask[:, None], u, y).reshape(-1)
 
+        def Fop_aux(v):
+            # aux = the element-DoF gather of the input: fgmres(aux=True)
+            # combines the per-iteration gathers into gather(du), so the
+            # divergence rhs below needs NO u*-gather of its own (the
+            # gather is linear; fp summation order differs from gathering
+            # the combined du by ~1 ulp per basis column).
+            u = v.reshape(n, d)
+            u_e = ops.gather_u(op, u)
+            y = ops.apply_F(op, nu, dt_eff, conv, u, u_e=u_e)
+            return jnp.where(mask[:, None], u, y).reshape(-1), u_e
+
         # F preconditioner: the same fixed-iteration Jacobi smoothers the
         # block preconditioners use (f_solver/f_iters from config); plain
         # Jacobi needs ~4x the outer iterations (measured at 609k DoF).
@@ -992,13 +1042,14 @@ class NavierStokesSolver:
                 precise=cfg.numerics.precise_dots,
             )
         else:
-            du, info_f = fgmres(
-                Fop,
+            du, info_f, du_e = fgmres(
+                Fop_aux,
                 r0,
                 M=Mf,
                 restart=cfg.solver.restart,
                 maxiter=cfg.solver.maxiter,
                 precise=cfg.numerics.precise_dots,
+                aux=True,
                 **tol_kw,
             )
         u_star = u0 + du.reshape(n, d)
@@ -1006,7 +1057,13 @@ class NavierStokesSolver:
         # ---- 2. pressure Poisson in the assembled Schur space ----------
         # M du/dt_eff + G phi = 0 and D(u* + du) = 0 with G = -D^T give
         # S~ phi = -D u* with S~ = D diag(M/dt_eff)^-1 D^T.
-        rhs_p = -ops.apply_divergence(op, u_star)
+        if explicit:
+            rhs_p = -ops.apply_divergence(op, u_star)
+        else:
+            # u*'s element view for free: u0_e from the stacked step gather,
+            # du_e from the Krylov applies' gathers (fgmres aux) -- the
+            # divergence pass skips its element gather entirely.
+            rhs_p = -ops.apply_divergence_e(op, u0_e + du_e)
         if fz is not None:
             # S~ = dt_eff * S1 with S1 frozen at setup: solve the rescaled
             # system S1 phi = rhs / dt_eff (identical phi; the tolerance

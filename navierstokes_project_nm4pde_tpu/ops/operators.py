@@ -92,6 +92,14 @@ class NSOperator:
     # Optional p-multigrid (P2->P1) two-level structure for the velocity
     # block (ops/pmg.py); built when PrecondConfig.f_solver == "pmg".
     pmg: "object | None" = None
+    # Optional windowed forward-gather plan (ops/scatter.py WindowedGather):
+    # when set, gather_u streams per-cell-block vertex/edge windows and
+    # gathers window-locally -- measured 7.2 vs 11.8 ms per apply-gather at
+    # the 965k bench mesh, where the [n_unodes, c] node array outgrows the
+    # fast source working set (plain wins below ~2-3 MB; gate by size via
+    # NumericsConfig.gather_plan="auto").  Requires RCM ordering; single-
+    # device only (not built for sharded or vmapped-ensemble operators).
+    wgather_u: "object | None" = None
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
     # plans (fast single-device path; TPU scatter is serialised and slow);
     # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD
@@ -283,6 +291,12 @@ def _assemble_divergence_ell(space: TaylorHoodSpace, geom: CellGeometry, t: RefT
 # Gather / scatter
 # ----------------------------------------------------------------------
 def gather_u(op: NSOperator, u: jax.Array) -> jax.Array:
+    if op.wgather_u is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import (
+            apply_windowed_gather,
+        )
+
+        return apply_windowed_gather(op.wgather_u, u)
     return u[op.cells_u]  # [E, n_loc_u, dim]
 
 
@@ -399,7 +413,13 @@ def apply_stiffness(op: NSOperator, u: jax.Array) -> jax.Array:
 
 def apply_divergence(op: NSOperator, u: jax.Array) -> jax.Array:
     """y = D u : continuity rows (q, div u) (ref: src/NavierStokes2D.cpp:262)."""
-    u_e = gather_u(op, u)
+    return apply_divergence_e(op, gather_u(op, u))
+
+
+def apply_divergence_e(op: NSOperator, u_e: jax.Array) -> jax.Array:
+    """D u from a pre-gathered element view u_e [E, n_loc_u, dim]: the
+    projection stepper reconstructs u*'s element view from the Krylov
+    applies' gathers (fgmres aux=True) and skips the divergence gather."""
     y_e = _div_u_e(op, u_e) * op.detJ[:, None]
     return scatter_p(op, y_e)
 
@@ -672,15 +692,23 @@ def apply_convection(op: NSOperator, conv: ConvectionData, u: jax.Array) -> jax.
 # ----------------------------------------------------------------------
 # The time-step velocity block F = M/dt + nu*A + C(w) and the full system
 # ----------------------------------------------------------------------
-def apply_F(op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array) -> jax.Array:
+def apply_F(
+    op: NSOperator, nu, dt, conv: ConvectionData | None, u: jax.Array,
+    u_e: jax.Array | None = None,
+) -> jax.Array:
     """F u with F = M/dt + nu*A + C(w).
 
     If `u` arrives as bfloat16 (the preconditioner's low-precision mode),
     both gather payloads -- the DoF gather and the contribution reduction --
     stay bf16 (half the dominant memory traffic); the einsum arithmetic still
-    accumulates in f32 against the f32 reference tables."""
+    accumulates in f32 against the f32 reference tables.
+
+    `u_e` accepts a pre-gathered element view of `u` (must equal
+    gather_u(op, u); callers that need the element view anyway -- e.g. the
+    projection stepper's aux-collecting Krylov operator -- pay one gather)."""
     lowp = u.dtype == jnp.bfloat16
-    u_e = gather_u(op, u)
+    if u_e is None:
+        u_e = gather_u(op, u)
     if lowp:
         u_e = u_e.astype(op.MHAT.dtype)
     if conv is not None and conv.F_e is not None:

@@ -279,6 +279,105 @@ def apply_windowed_plan(plan: WindowedPlan, flat: jax.Array) -> jax.Array:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class WindowedGather:
+    """Forward element-DoF gather through per-block dynamic-sliced source
+    windows: u[cells] evaluated as scan(blocks): slice a vertex window and
+    an edge window out of the node array, gather window-locally.
+
+    Motivation (scripts/prof_apply_split.py, 965k bench mesh): the XLA row
+    gather is SOURCE-working-set bound; once the [n_unodes, c] node array
+    outgrows the fast set (~2-3 MB on v5e) the fused forward gather pays
+    11.8 ms/apply while the windowed form holds 7.2 ms (and the element
+    contraction fuses into the scan nearly for free: 7.6 vs 15.2 ms with
+    _emv).  Below the knee (e.g. 609k DoF, 2.3 MB) the plain gather wins --
+    gate by source size (NumericsConfig.gather_plan="auto").
+
+    P2 wrinkle: cells_u references two first-touch-numbered bands (vertices
+    [0, n_v), edge nodes [n_v, n_u)), so one window per band per block; the
+    local table indexes their concatenation.  Requires RCM cell ordering
+    (mesh.reorder_spatial("rcm")) for bounded windows.
+    """
+
+    vstarts: jax.Array  # [nb] int32 vertex-window start rows
+    estarts: jax.Array  # [nb] int32 edge-window start rows
+    local: jax.Array  # [nb, cpb, n_loc] int32 into concat(v-win, e-win)
+    Wv: int = dataclasses.field(metadata=dict(static=True))
+    We: int = dataclasses.field(metadata=dict(static=True))
+    n_cells: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def window_rows(self) -> int:
+        return self.Wv + self.We
+
+
+def build_windowed_gather(
+    cells: np.ndarray,
+    n_vertices: int,
+    n_rows: int,
+    cells_per_block: int = 4096,
+    align: int = 512,
+) -> WindowedGather:
+    """Build the per-block window tables for a [E, n_loc] index array whose
+    rows are spatially (RCM) ordered.  Window widths are the max block span
+    per band, rounded to `align`; degenerate (unordered) inputs just yield
+    windows ~the whole band -- callers gate on `window_rows`."""
+    E, nloc = cells.shape
+    cpb = min(cells_per_block, max(E, 1))
+    nb = -(-E // cpb)
+    pad = nb * cpb - E
+    if pad:
+        cells = np.concatenate([cells, np.repeat(cells[-1:], pad, axis=0)])
+    blk = cells.reshape(nb, cpb, nloc).astype(np.int64)
+    isv = blk < n_vertices
+    vmin = np.where(isv, blk, n_vertices).reshape(nb, -1).min(axis=1)
+    vmax = np.where(isv, blk, -1).reshape(nb, -1).max(axis=1)
+    emin = np.where(~isv, blk, n_rows).reshape(nb, -1).min(axis=1)
+    emax = np.where(~isv, blk, -1).reshape(nb, -1).max(axis=1)
+    # blocks with no vertex (or edge) entries get a degenerate window at 0
+    vmin = np.minimum(vmin, np.maximum(vmax, 0))
+    emin = np.minimum(emin, np.maximum(emax, n_vertices))
+    vstart = np.maximum(vmin - vmin % align, 0)
+    estart = np.maximum(emin - (emin - n_vertices) % align, n_vertices)
+    Wv = int((vmax - vstart).max()) + 1
+    We = int((emax - estart).max()) + 1
+    Wv = min(-(-Wv // align) * align, max(n_vertices, 1))
+    We = min(-(-We // align) * align, max(n_rows - n_vertices, 1))
+    vstart = np.clip(vstart, 0, max(n_vertices - Wv, 0))
+    estart = np.clip(estart, n_vertices, max(n_rows - We, n_vertices))
+    local = np.where(
+        isv, blk - vstart[:, None, None], Wv + blk - estart[:, None, None]
+    )
+    assert local.min() >= 0 and local.max() < Wv + We
+    return WindowedGather(
+        vstarts=jnp.asarray(vstart, jnp.int32),
+        estarts=jnp.asarray(estart, jnp.int32),
+        local=jnp.asarray(local, jnp.int32),
+        Wv=Wv,
+        We=We,
+        n_cells=E,
+    )
+
+
+def apply_windowed_gather(wg: WindowedGather, u: jax.Array) -> jax.Array:
+    """u[cells] via the windowed plan: [n_rows, c] -> [E, n_loc, c]."""
+    c = u.shape[1]
+    Wv, We = wg.Wv, wg.We
+    nloc = wg.local.shape[-1]
+
+    def body(carry, blk):
+        v0, e0, tab = blk
+        zero = jnp.zeros((), v0.dtype)
+        wv = jax.lax.dynamic_slice(u, (v0, zero), (Wv, c))
+        we = jax.lax.dynamic_slice(u, (e0, zero), (We, c))
+        win = jnp.concatenate([wv, we], axis=0)
+        return carry, win[tab]
+
+    _, o = jax.lax.scan(body, None, (wg.vstarts, wg.estarts, wg.local))
+    return o.reshape(-1, nloc, c)[: wg.n_cells]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class HalvingPlan:
     """Reduce plan with ONE flat gather + contiguous pairwise halvings.
 

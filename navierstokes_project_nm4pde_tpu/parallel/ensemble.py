@@ -56,6 +56,14 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         dev_run = _dc.replace(
             dev_run, op=_dc.replace(dev_run.op, contraction="einsum")
         )
+    if dev_run.op.wgather_u is not None:
+        # The windowed forward gather scans dynamic slices -- under vmap
+        # that lowers poorly, and ensemble members are small enough that
+        # the plain gather is the fast path anyway (wide payloads already
+        # amortise the row cost).
+        dev_run = _dc.replace(
+            dev_run, op=_dc.replace(dev_run.op, wgather_u=None)
+        )
 
     vstep = jax.vmap(
         lambda st, nu, dev: solver.step(st, nu=nu, dev=dev),

@@ -70,7 +70,14 @@ def _pad_cells(op: NSOperator, multiple: int) -> NSOperator:
 def shard_operator(op: NSOperator, mesh: Mesh) -> NSOperator:
     """Move an operator onto the device mesh, cells axis sharded."""
     n_dev = mesh.devices.size
-    op = dataclasses.replace(_pad_cells(op, n_dev), scatter_mode="scatter_add")
+    op = dataclasses.replace(
+        _pad_cells(op, n_dev),
+        scatter_mode="scatter_add",
+        # The windowed forward gather scans dynamic slices of the (replicated)
+        # node array -- incompatible with the cells-sharded GSPMD layout; the
+        # plain gather partitions cleanly along the cell axis.
+        wgather_u=None,
+    )
     cell_sh = NamedSharding(mesh, P("cells"))
     repl_sh = NamedSharding(mesh, P())
 

@@ -69,6 +69,7 @@ def fgmres(
     maxiter: int = 200,
     precise: bool = True,
     tol_mode: str = "r0",
+    aux: bool = False,
 ):
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -81,11 +82,27 @@ def fgmres(
     rtol behave like a loose absolute tolerance), "b" = ||b||, "abs" =
     absolute (the reference's SolverControl convention,
     ref: src/NavierStokes2D.cpp:535).
+
+    aux=True: `A` returns (A z, f(z)) where f is any LINEAR function of its
+    input (e.g. the element-DoF gather inside a matrix-free apply); the
+    return becomes (x, SolveInfo, f(x)) with f(x) accumulated from the
+    per-iteration values -- callers get f of the solution WITHOUT a second
+    evaluation (the projection stepper reuses the Krylov applies' gathers
+    for the divergence rhs; same exact-arithmetic value, fp summation order
+    differs by the basis combination).
     """
     n = b.shape[0]
     dtype = b.dtype
     if M is None:
         M = lambda v: v  # noqa: E731
+
+    if aux:
+        A_full = A
+    else:
+        A_full = lambda z: (A(z), jnp.zeros((), dtype))  # noqa: E731
+    aux_shape = jax.eval_shape(lambda z: A_full(z)[1], b)
+    aux_zero = jnp.zeros(aux_shape.shape, aux_shape.dtype)
+
     # Zero initial guess => the initial residual IS b: skip the A(x0)
     # apply (warm-started time stepping solves in increment form with
     # x0 = 0, so this is the common path -- the operator apply is ~10x the
@@ -93,8 +110,10 @@ def fgmres(
     if x0 is None:
         x0 = jnp.zeros_like(b)
         r_init = b
+        aux_init = aux_zero
     else:
-        r_init = b - A(x0)
+        w0, aux_init = A_full(x0)
+        r_init = b - w0
 
     r0_norm = _norm(r_init, precise)
     if tol_mode == "r0":
@@ -109,15 +128,16 @@ def fgmres(
 
     def cycle(x, r):
         """One restart cycle from residual `r`; returns (x, next residual
-        vector, residual norm, iters done).  The next-cycle residual is
-        reconstructed from the Arnoldi recurrence (exact in exact
-        arithmetic: r_new = g[j] * V^T Q^T e_j) instead of an extra
+        vector, residual norm, iters done, aux increment).  The next-cycle
+        residual is reconstructed from the Arnoldi recurrence (exact in
+        exact arithmetic: r_new = g[j] * V^T Q^T e_j) instead of an extra
         operator apply -- restarts are rare in warm-started solves and the
         stopping value |g[j]| is unchanged."""
         beta = _norm(r, precise)
 
         V = jnp.zeros((m + 1, n), dtype)
         Z = jnp.zeros((m, n), dtype)
+        Zaux = jnp.zeros((m,) + aux_zero.shape, aux_zero.dtype)
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
@@ -126,13 +146,14 @@ def fgmres(
         V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
 
         def arnoldi_cond(carry):
-            V, Z, H, cs, sn, g, j, res = carry
+            V, Z, Zaux, H, cs, sn, g, j, res = carry
             return (j < m) & (res > tol)
 
         def arnoldi_body(carry):
-            V, Z, H, cs, sn, g, j, res = carry
+            V, Z, Zaux, H, cs, sn, g, j, res = carry
             z = M(V[j])
-            w = A(z)
+            w, a = A_full(z)
+            Zaux = Zaux.at[j].set(a)
             # Batched classical Gram-Schmidt with reorthogonalisation (CGS2):
             # two matmuls against the whole basis instead of a sequential MGS
             # loop -- hundreds of tiny dot/axpy ops collapse into 4 large ones
@@ -168,12 +189,12 @@ def fgmres(
             g_j1 = -s * g[j]
             g = g.at[j + 1].set(g_j1).at[j].set(c * g[j])
             res = jnp.abs(g_j1)
-            return V, Z, H, cs, sn, g, j + 1, res
+            return V, Z, Zaux, H, cs, sn, g, j + 1, res
 
-        V, Z, H, cs, sn, g, j, res = jax.lax.while_loop(
+        V, Z, Zaux, H, cs, sn, g, j, res = jax.lax.while_loop(
             arnoldi_cond,
             arnoldi_body,
-            (V, Z, H, cs, sn, g, jnp.array(0, jnp.int32), beta),
+            (V, Z, Zaux, H, cs, sn, g, jnp.array(0, jnp.int32), beta),
         )
 
         # Solve the (masked) triangular system H[:j,:j] y = g[:j].
@@ -184,6 +205,9 @@ def fgmres(
         gm = jnp.where(active, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
         x = x + Z.T @ y
+        # aux increment: f linear => f(Z^T y) = sum_j y_j f(z_j); inactive
+        # y entries are exactly zero, so the padded rows contribute nothing.
+        aux_inc = jnp.tensordot(y, Zaux, axes=(0, 0))
 
         # Next-cycle residual by recurrence: beta e1 - H_bar y = Q^T e_j
         # g[j] (the first j rotated entries vanish because y solves the
@@ -197,21 +221,24 @@ def fgmres(
             return jnp.where(i < j, new, w)
         w = jax.lax.fori_loop(0, m, unrotate, w)
         r_new = (g[j] * w) @ V
-        return x, r_new, res, j
+        return x, r_new, res, j, aux_inc
 
     def outer_cond(carry):
-        x, r, res, iters = carry
+        x, r, res, iters, aux_x = carry
         return (res > tol) & (iters < maxiter)
 
     def outer_body(carry):
-        x, r, res, iters = carry
-        x, r, res, j = cycle(x, r)
-        return x, r, res, iters + j
+        x, r, res, iters, aux_x = carry
+        x, r, res, j, aux_inc = cycle(x, r)
+        return x, r, res, iters + j, aux_x + aux_inc
 
-    x, r, res, iters = jax.lax.while_loop(
-        outer_cond, outer_body, (x0, r_init, r0_norm, jnp.array(0, jnp.int32))
+    x, r, res, iters, aux_x = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        (x0, r_init, r0_norm, jnp.array(0, jnp.int32), aux_init),
     )
-    return x, SolveInfo(iters=iters, residual=res)
+    info = SolveInfo(iters=iters, residual=res)
+    return (x, info, aux_x) if aux else (x, info)
 
 
 # ----------------------------------------------------------------------

@@ -426,6 +426,52 @@ def test_windowed_plan_wired_into_solver():
     )
 
 
+def test_windowed_gather_matches_plain():
+    """gather_plan='windowed' (per-block vertex/edge source windows) is a
+    pure re-indexing of u[cells_u]: bit-identical gathers and operator
+    applies (ops/scatter.py WindowedGather)."""
+    import dataclasses
+
+    from navierstokes_project_nm4pde_tpu.mesh import cube_mesh
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        apply_windowed_gather,
+        build_windowed_gather,
+    )
+
+    mesh = cube_mesh(2).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0])
+    op = ops.build_operator(space, geom, mask, dtype=jnp.float64)
+    wg = build_windowed_gather(
+        np.asarray(space.cells_u), mesh.n_vertices, space.n_unodes,
+        cells_per_block=16, align=8,
+    )
+    opw = dataclasses.replace(op, wgather_u=wg)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((space.n_unodes, 3)))
+    p = jnp.asarray(rng.standard_normal((space.n_pnodes,)))
+    np.testing.assert_array_equal(
+        np.asarray(apply_windowed_gather(wg, u)),
+        np.asarray(u)[np.asarray(space.cells_u)],
+    )
+    # wide payload (the stacked [n, 3d] step gather)
+    u9 = jnp.concatenate([u, 2 * u, 3 * u], axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(ops.gather_u(opw, u9)),
+        np.asarray(u9)[np.asarray(space.cells_u)],
+    )
+    conv = ops.convection_setup(op, u, fold=(0.01, 0.1))
+    np.testing.assert_array_equal(
+        np.asarray(ops.apply_F(opw, 0.01, 0.1, conv, u)),
+        np.asarray(ops.apply_F(op, 0.01, 0.1, conv, u)),
+    )
+    b0, r00 = ops.apply_rhs_and_r0(op, u, p, 0.01, 0.1, conv, u)
+    b1, r01 = ops.apply_rhs_and_r0(opw, u, p, 0.01, 0.1, conv, u)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b0))
+    np.testing.assert_array_equal(np.asarray(r01), np.asarray(r00))
+
+
 def test_halving_plan_wired_into_solver():
     """reduce_plan='halving' produces the same apply_F as the table plan."""
     import dataclasses

@@ -50,6 +50,37 @@ def test_fgmres_nonsymmetric():
     np.testing.assert_allclose(np.asarray(x), xex, rtol=1e-6, atol=1e-8)
 
 
+def test_fgmres_aux_linear_accumulation():
+    """aux=True: A returning (A v, P v) for a linear P yields aux_x = P x
+    across restarts and with a nonzero initial guess (the projection
+    stepper's divergence-from-Krylov-gathers contract)."""
+    n = 80
+    rng = np.random.default_rng(9)
+    A = np.eye(n) * 4 + 0.4 * rng.normal(size=(n, n))
+    P = rng.normal(size=(2 * n, n))  # any linear map (stand-in for gather)
+    xex = rng.normal(size=n)
+    b = A @ xex
+    Aj, Pj = jnp.asarray(A), jnp.asarray(P)
+
+    def Aop(v):
+        return Aj @ v, Pj @ v
+
+    # small restart forces multiple cycles through the aux accumulator
+    x, info, aux = fgmres(Aop, jnp.asarray(b), rtol=1e-10, restart=7,
+                          maxiter=200, aux=True)
+    np.testing.assert_allclose(np.asarray(x), xex, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(aux), P @ np.asarray(x), rtol=1e-5, atol=1e-8
+    )
+    # nonzero x0: aux must include P x0 from the residual apply
+    x0 = jnp.asarray(rng.normal(size=n))
+    x, info, aux = fgmres(Aop, jnp.asarray(b), x0=x0, rtol=1e-10, restart=7,
+                          maxiter=200, aux=True)
+    np.testing.assert_allclose(
+        np.asarray(aux), P @ np.asarray(x), rtol=1e-5, atol=1e-8
+    )
+
+
 def test_fgmres_restarts_and_info():
     n = 120
     A = make_spd(n, cond=500.0, seed=4)
