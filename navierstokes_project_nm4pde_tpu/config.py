@@ -189,6 +189,16 @@ class NumericsConfig:
     gather_plan: str = "auto"
     # Cells per windowed-gather block (gather_plan="windowed"/"auto").
     gather_cpb: int = 4096
+    # Pressure-gradient application: "element" runs G p = -D^T p as an
+    # element pass (p-gather + contraction + velocity-space reduction over
+    # the tens-of-MB element array); "ell" as an assembled valence-bucketed
+    # ELL SpMV gathering nnz(D) rows from the KB-scale pressure vector
+    # (ops/operators.py build_gradient_plan) -- the gather rate is
+    # source-working-set bound, so the tiny-source form wins at bench scale.
+    # "auto" = "ell" for the single-device projection stepper (where the
+    # update gradient is on the hot path), "element" otherwise (sharded
+    # operators and vmapped ensembles keep the element pass).
+    grad_apply: str = "auto"
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

@@ -366,6 +366,26 @@ class NavierStokesSolver:
                 self.op = _dc.replace(self.op, wgather_u=wg)
         elif _gp != "plain":
             raise ValueError(f"unknown gather_plan: {cfg.numerics.gather_plan}")
+        # Assembled-transpose gradient (NSOperator.gradt): the projection
+        # stepper's update gradient is a full element pass + velocity-space
+        # reduction per step; the ELL form gathers nnz(D) rows from the
+        # KB-scale pressure vector instead (source-working-set-bound gather
+        # rate -- PERFORMANCE.md).  Sharded/ensemble runs strip it
+        # (parallel/sharding.py, parallel/ensemble.py).
+        _ga = cfg.numerics.grad_apply
+        if _ga == "auto":
+            _ga = "ell" if cfg.time.stepper == "projection" else "element"
+        if _ga == "ell":
+            import dataclasses as _dc
+
+            self.op = _dc.replace(
+                self.op,
+                gradt=ops.build_gradient_plan(
+                    self._schur_host, self.space.n_unodes, dtype=self.dtype
+                ),
+            )
+        elif _ga != "element":
+            raise ValueError(f"unknown grad_apply: {cfg.numerics.grad_apply}")
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 

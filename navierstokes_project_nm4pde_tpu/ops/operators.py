@@ -100,6 +100,15 @@ class NSOperator:
     # NumericsConfig.gather_plan="auto").  Requires RCM ordering; single-
     # device only (not built for sharded or vmapped-ensemble operators).
     wgather_u: "object | None" = None
+    # Optional assembled-transpose gradient (ops/scatter.py WeightedPlan):
+    # when set, apply_gradient runs G p = -D^T p as a valence-bucketed ELL
+    # SpMV gathering from the KB-scale pressure vector instead of the
+    # element pass (p-gather + contraction + big velocity-space reduction
+    # over the tens-of-MB element array).  The gather rate is
+    # source-working-set bound (PERFORMANCE.md), so nnz(D) rows from a tiny
+    # source beat E*n_loc_u rows from a large one.  Built when
+    # NumericsConfig.grad_apply resolves to "ell"; single-device only.
+    gradt: "object | None" = None
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
     # plans (fast single-device path; TPU scatter is serialised and slow);
     # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD
@@ -426,9 +435,36 @@ def apply_divergence_e(op: NSOperator, u_e: jax.Array) -> jax.Array:
 
 def apply_gradient(op: NSOperator, p: jax.Array) -> jax.Array:
     """y = G p = -D^T p : momentum rows -(p, div v) (ref: src/NavierStokes2D.cpp:259)."""
+    if op.gradt is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import (
+            apply_weighted_plan,
+        )
+
+        return apply_weighted_plan(op.gradt, p)
     p_e = gather_p(op, p)
     y_e = -_grad_p_e(op, p_e) * op.detJ[:, None, None]
     return scatter_u(op, y_e)
+
+
+def build_gradient_plan(
+    schur_host: dict, n_unodes: int, dtype=jnp.float32, min_rows: int = 4096
+):
+    """Assemble G = -D^T into a WeightedPlan (see NSOperator.gradt) from the
+    host-side divergence ELL (`schur_host["D_cols"/"D_vals"]`, one value per
+    velocity component per (pressure row, velocity col) pair)."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        build_weighted_plan,
+    )
+
+    D_cols, D_vals = schur_host["D_cols"], schur_host["D_vals"]
+    n_p, Wd = D_cols.shape
+    keep = (D_vals != 0.0).any(axis=-1)  # drops ELL padding (+ exact zeros)
+    rows = D_cols[keep]  # velocity node = transpose row
+    cols = np.broadcast_to(np.arange(n_p)[:, None], (n_p, Wd))[keep]
+    vals = -D_vals[keep]  # G = -D^T
+    return build_weighted_plan(
+        rows, cols, vals, n_unodes, n_p, dtype=dtype, min_rows=min_rows
+    )
 
 
 def apply_mass_minus_gradient(op: NSOperator, h: jax.Array, p: jax.Array) -> jax.Array:

@@ -495,3 +495,102 @@ def build_inverse_map(index_groups, n_rows: int) -> InverseMap:
 def apply_inverse_map(m: InverseMap, values: jax.Array, fill=0.0) -> jax.Array:
     pad = jnp.full((1,) + values.shape[1:], fill, values.dtype)
     return jnp.concatenate([values, pad], axis=0)[m.inv]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class WeightedPlan:
+    """Assembled sparse matvec y[r, :] = sum_k vals[r, k, :] * x[cols[r, k]]
+    as valence-bucketed weighted row gathers.
+
+    Same access pattern as GatherPlan's "columns" mode (K unrolled 1-D row
+    gathers with explicit adds), but each gathered row is scaled by a
+    per-(row, slot) coefficient vector -- i.e. an ELL SpMV whose rows are
+    grouped by nnz count so padding stays negligible.  Built for operators
+    whose SOURCE vector is tiny (e.g. the pressure space): the gather rate
+    is source-working-set bound (PERFORMANCE.md), so trading the big
+    element-array reduction for extra gathered rows from a KB-scale source
+    wins.  Rows are permuted by valence class; `row_unperm` restores
+    natural order."""
+
+    cols: tuple  # per bucket [rows_b, K_b] int32 (pad index = n_src)
+    vals: tuple  # per bucket [rows_b, K_b, C]
+    row_unperm: jax.Array  # [n_rows] int32
+    n_src: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_weighted_plan(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_rows: int,
+    n_src: int,
+    dtype=np.float32,
+    min_rows: int = 4096,
+) -> WeightedPlan:
+    """Build a WeightedPlan from COO triplets (duplicate (row, col) pairs
+    must already be merged; zero-valued entries are fine but wasteful).
+
+    Rows are sorted by nnz count and grouped into valence-exact buckets;
+    consecutive valence classes are merged until a bucket holds at least
+    `min_rows` rows (padding only up to the merged class's max valence), so
+    the bucket count stays small without the 2-bucket split's ~28% padding
+    waste (PERFORMANCE.md round-3 exact-valence table)."""
+    rows = np.asarray(rows).astype(np.int64).reshape(-1)
+    cols = np.asarray(cols).astype(np.int64).reshape(-1)
+    vals = np.asarray(vals)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    C = vals.shape[-1]
+    order = np.argsort(rows, kind="stable")
+    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+    counts = np.bincount(rows_s, minlength=n_rows)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    # valence-sorted row order; cut buckets at valence changes once the
+    # current bucket is big enough
+    row_order = np.argsort(counts, kind="stable")
+    unperm = np.empty(n_rows, dtype=np.int64)
+    unperm[row_order] = np.arange(n_rows)
+    cnt_sorted = counts[row_order]
+    cuts = [0]
+    run = 0
+    for i in range(1, n_rows):
+        run += 1
+        if cnt_sorted[i] != cnt_sorted[i - 1] and run >= min_rows:
+            cuts.append(i)
+            run = 0
+    cuts.append(n_rows)
+
+    col_tabs, val_tabs = [], []
+    for b in range(len(cuts) - 1):
+        rows_b = row_order[cuts[b]:cuts[b + 1]]
+        K = max(int(counts[rows_b].max()) if rows_b.size else 1, 1)
+        idx = starts[rows_b][:, None] + np.arange(K)[None, :]
+        valid = np.arange(K)[None, :] < counts[rows_b][:, None]
+        idx = np.clip(idx, 0, max(len(cols_s) - 1, 0))
+        ctab = np.where(valid, cols_s[idx] if len(cols_s) else 0, n_src)
+        vtab = np.where(
+            valid[..., None], vals_s[idx] if len(vals_s) else 0.0, 0.0
+        )
+        col_tabs.append(jnp.asarray(ctab, dtype=jnp.int32))
+        val_tabs.append(jnp.asarray(vtab, dtype=dtype))
+    return WeightedPlan(
+        cols=tuple(col_tabs),
+        vals=tuple(val_tabs),
+        row_unperm=jnp.asarray(unperm, jnp.int32),
+        n_src=n_src,
+    )
+
+
+def apply_weighted_plan(plan: WeightedPlan, x: jax.Array) -> jax.Array:
+    """y = A x for the WeightedPlan's ELL operator: [n_src] -> [n_rows, C]."""
+    xp = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+    outs = []
+    for cb, vb in zip(plan.cols, plan.vals):
+        acc = vb[:, 0, :] * xp[cb[:, 0]][:, None]
+        for k in range(1, cb.shape[1]):
+            acc = acc + vb[:, k, :] * xp[cb[:, k]][:, None]
+        outs.append(acc)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[plan.row_unperm]

@@ -64,6 +64,13 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         dev_run = _dc.replace(
             dev_run, op=_dc.replace(dev_run.op, wgather_u=None)
         )
+    if dev_run.op.gradt is not None:
+        # Keep the element-pass gradient under vmap: ensemble members'
+        # node arrays are small (below the source-working-set knee) and
+        # the wide batched payload already amortises the reduce rows.
+        dev_run = _dc.replace(
+            dev_run, op=_dc.replace(dev_run.op, gradt=None)
+        )
 
     vstep = jax.vmap(
         lambda st, nu, dev: solver.step(st, nu=nu, dev=dev),

@@ -77,6 +77,9 @@ def shard_operator(op: NSOperator, mesh: Mesh) -> NSOperator:
         # node array -- incompatible with the cells-sharded GSPMD layout; the
         # plain gather partitions cleanly along the cell axis.
         wgather_u=None,
+        # The assembled-transpose gradient's row buckets don't follow the
+        # cell axis; the element-pass gradient shards cleanly.
+        gradt=None,
     )
     cell_sh = NamedSharding(mesh, P("cells"))
     repl_sh = NamedSharding(mesh, P())

@@ -495,3 +495,28 @@ def test_halving_plan_wired_into_solver():
     np.testing.assert_allclose(
         np.asarray(y_halving), np.asarray(y_table), rtol=1e-12
     )
+
+
+def test_gradient_weighted_plan_matches_element(setup):
+    """grad_apply='ell' (assembled-transpose WeightedPlan) reproduces the
+    element-pass gradient on both simplex types, including multi-bucket
+    valence grouping (min_rows small enough to force several buckets)."""
+    import dataclasses
+
+    space, geom, op = setup
+    host = ops.build_operator(
+        space, geom, np.asarray(op.dirichlet_mask), dtype=jnp.float64,
+        want_host_schur=True,
+    )[1]
+    rng = np.random.default_rng(11)
+    p = jnp.asarray(rng.standard_normal(space.n_pnodes))
+    y_elem = np.asarray(ops.apply_gradient(op, p))
+    for min_rows in (4, 10**9):  # multi-bucket and single-bucket grouping
+        gradt = ops.build_gradient_plan(
+            host, space.n_unodes, dtype=jnp.float64, min_rows=min_rows
+        )
+        opg = dataclasses.replace(op, gradt=gradt)
+        np.testing.assert_allclose(
+            np.asarray(ops.apply_gradient(opg, p)), y_elem,
+            rtol=1e-12, atol=1e-13,
+        )

@@ -305,3 +305,23 @@ def test_explicit_convection_requires_projection():
         NavierStokesSolver(
             cylinder_channel_2d(lc=0.15), Cylinder2DProblem(test_case=2), cfg
         )
+
+
+def test_grad_apply_ell_matches_element():
+    """grad_apply='ell' (assembled-transpose update gradient, the projection
+    default) reproduces the element-pass trajectory to fp-order noise."""
+    import dataclasses
+
+    mesh = cylinder_channel_2d(lc=0.1)
+    out = {}
+    for ga in ("ell", "element"):
+        cfg = make_config("projection", dt=0.01, t_end=0.03, rtol=1e-11)
+        cfg = dataclasses.replace(
+            cfg, numerics=dataclasses.replace(cfg.numerics, grad_apply=ga)
+        )
+        solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, _ = solver.run(3)
+        assert (ga == "ell") == (solver.op.gradt is not None)
+        out[ga] = (np.asarray(state.u), np.asarray(state.p))
+    np.testing.assert_allclose(out["ell"][0], out["element"][0], atol=1e-9)
+    np.testing.assert_allclose(out["ell"][1], out["element"][1], atol=1e-8)
