@@ -49,6 +49,21 @@ def _norm(x, precise: bool):
     return jnp.sqrt(_dot(x, x, precise))
 
 
+def _dot2(x, y, precise: bool):
+    """(x.y, y.y) in ONE fused device reduction.
+
+    Stacking the two dot products into a [2, n] @ [n] matvec halves the
+    fixed per-op dispatch cost (every device op costs ~0.4 ms on this
+    backend regardless of size); the CG loop needs r.z and r.r at the same
+    point every iteration."""
+    if precise:
+        xs = jnp.stack([x, y]).astype(jnp.float64) @ y.astype(jnp.float64)
+        xs = xs.astype(x.dtype)
+    else:
+        xs = jnp.stack([x, y]) @ y
+    return xs[0], xs[1]
+
+
 class SolveInfo(NamedTuple):
     iters: jax.Array  # total iterations performed
     residual: jax.Array  # final (preconditioned-system) residual norm
@@ -255,7 +270,12 @@ def cg(
     maxiter: int = 1000,
     precise: bool = True,
 ):
-    """Preconditioned conjugate gradients with relative tolerance."""
+    """Preconditioned conjugate gradients with relative tolerance.
+
+    The residual norm rides the loop state (computed in the body, fused
+    with the r.z reduction via `_dot2`) instead of being recomputed in the
+    while-loop condition: one fixed-cost device reduction per iteration
+    saved on a backend where op COUNT dominates below ~1 MB payloads."""
     if M is None:
         M = lambda v: v  # noqa: E731
     if x0 is None:
@@ -265,30 +285,31 @@ def cg(
         r = b - A(x0)
     z = M(r)
     p = z
-    rz = _dot(r, z, precise)
+    rz, rr = _dot2(z, r, precise)
+    res = jnp.sqrt(rr)
     b_norm = _norm(b, precise)
     tol = jnp.maximum(rtol * b_norm, atol)
 
     def cond(carry):
-        x, r, p, rz, k = carry
-        return (_norm(r, precise) > tol) & (k < maxiter)
+        x, r, p, rz, res, k = carry
+        return (res > tol) & (k < maxiter)
 
     def body(carry):
-        x, r, p, rz, k = carry
+        x, r, p, rz, res, k = carry
         Ap = A(p)
         alpha = rz / _dot(p, Ap, precise)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = _dot(r, z, precise)
+        rz_new, rr = _dot2(z, r, precise)
         beta = rz_new / rz
         p = z + beta * p
-        return x, r, p, rz_new, k + 1
+        return x, r, p, rz_new, jnp.sqrt(rr), k + 1
 
-    x, r, p, rz, k = jax.lax.while_loop(
-        cond, body, (x0, r, p, rz, jnp.array(0, jnp.int32))
+    x, r, p, rz, res, k = jax.lax.while_loop(
+        cond, body, (x0, r, p, rz, res, jnp.array(0, jnp.int32))
     )
-    return x, SolveInfo(iters=k, residual=_norm(r, precise))
+    return x, SolveInfo(iters=k, residual=res)
 
 
 # ----------------------------------------------------------------------
