@@ -164,11 +164,13 @@ def measure():
             # source-working-set knee (965k: 7.2 vs 11.8 ms per apply
             # gather), plain below it (609k keeps plain).
             gather_plan=os.environ.get("NS_BENCH_GATHER", "auto"),
-            # "auto" = assembled-transpose (ELL) gradient for the
-            # projection stepper's update: nnz(D) rows gathered from the
-            # KB-scale pressure vector instead of the element pass's big
-            # velocity-space reduce; "element" forces the element pass.
+            # "auto" = supernode BSR gradient / divergence (ops/bsr.py:
+            # wide-row block gathers + one streamed value array, ~1-2 ms
+            # at 965k vs 20.7 ms ELL / 22-25 ms element pass); "ell" /
+            # "element" keep the round-3 forms for A/B.
             grad_apply=os.environ.get("NS_BENCH_GRAD", "auto"),
+            div_apply=os.environ.get("NS_BENCH_DIV", "auto"),
+            bsr_block=int(os.environ.get("NS_BENCH_BSR_BLOCK", "32")),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
             # "auto" = block-banded dense SpMV when the RCM band fits
             # (frozen Schur only); "ell" forces the bucketed ELL form.

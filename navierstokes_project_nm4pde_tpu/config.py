@@ -193,12 +193,25 @@ class NumericsConfig:
     # element pass (p-gather + contraction + velocity-space reduction over
     # the tens-of-MB element array); "ell" as an assembled valence-bucketed
     # ELL SpMV gathering nnz(D) rows from the KB-scale pressure vector
-    # (ops/operators.py build_gradient_plan) -- the gather rate is
-    # source-working-set bound, so the tiny-source form wins at bench scale.
-    # "auto" = "ell" for the single-device projection stepper (where the
+    # (ops/operators.py build_gradient_plan); "bsr" as a supernode
+    # block-sparse apply (ops/bsr.py: [bs, C]-panel gathers at the 43 GB/s
+    # wide-row rate + one streamed dense value array -- the gather rate is
+    # ROW-rate bound, so wide rows beat both forms above).
+    # "auto" = "bsr" for the single-device projection stepper (where the
     # update gradient is on the hot path), "element" otherwise (sharded
     # operators and vmapped ensembles keep the element pass).
     grad_apply: str = "auto"
+    # Divergence application: "element" (gather + contraction + pressure-
+    # space reduce), "bsr" (assembled supernode block-sparse, see
+    # grad_apply), or "auto" ("bsr" for the single-device projection
+    # stepper, whose pressure-Poisson rhs is on the hot path).  With the
+    # BSR divergence the projection stepper also drops the aux-gather
+    # FGMRES machinery (reusing Krylov gathers for the divergence rhs no
+    # longer pays when D itself is ~1-2 ms).
+    div_apply: str = "auto"
+    # Supernode (block) size of the BSR operators.  32 nodes = 384 B
+    # gathered rows at dim=3 f32 (the measured full-rate width).
+    bsr_block: int = 32
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

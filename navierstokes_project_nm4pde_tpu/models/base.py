@@ -374,7 +374,7 @@ class NavierStokesSolver:
         # (parallel/sharding.py, parallel/ensemble.py).
         _ga = cfg.numerics.grad_apply
         if _ga == "auto":
-            _ga = "ell" if cfg.time.stepper == "projection" else "element"
+            _ga = "bsr" if cfg.time.stepper == "projection" else "element"
         if _ga == "ell":
             import dataclasses as _dc
 
@@ -384,8 +384,46 @@ class NavierStokesSolver:
                     self._schur_host, self.space.n_unodes, dtype=self.dtype
                 ),
             )
+        elif _ga == "bsr":
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.bsr import (
+                build_gradient_bsr,
+            )
+
+            self.op = _dc.replace(
+                self.op,
+                gbsr=build_gradient_bsr(
+                    self._schur_host, self.space.n_unodes,
+                    self.space.n_pnodes, bs=cfg.numerics.bsr_block,
+                    dtype=self.dtype,
+                ),
+            )
         elif _ga != "element":
             raise ValueError(f"unknown grad_apply: {cfg.numerics.grad_apply}")
+        # Supernode BSR divergence (see NSOperator.dbsr): the projection
+        # stepper's pressure-Poisson rhs -D u* as wide-row block gathers.
+        _da = cfg.numerics.div_apply
+        if _da == "auto":
+            _da = "bsr" if cfg.time.stepper == "projection" else "element"
+        if _da == "bsr":
+            import dataclasses as _dc
+
+            from navierstokes_project_nm4pde_tpu.ops.bsr import (
+                build_divergence_bsr,
+            )
+
+            self.op = _dc.replace(
+                self.op,
+                dbsr=build_divergence_bsr(
+                    self._schur_host, self.space.n_unodes,
+                    self.space.n_pnodes, bs=cfg.numerics.bsr_block,
+                    dtype=self.dtype,
+                ),
+            )
+        elif _da != "element":
+            raise ValueError(f"unknown div_apply: {cfg.numerics.div_apply}")
+        _mark("assembled D/G forms")
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 
@@ -1061,7 +1099,7 @@ class NavierStokesSolver:
                 maxiter=cfg.solver.maxiter,
                 precise=cfg.numerics.precise_dots,
             )
-        else:
+        elif op.dbsr is None:
             du, info_f, du_e = fgmres(
                 Fop_aux,
                 r0,
@@ -1072,12 +1110,26 @@ class NavierStokesSolver:
                 aux=True,
                 **tol_kw,
             )
+        else:
+            # BSR divergence: D u* is ~1-2 ms, so the aux-gather reuse
+            # (accumulating the Krylov applies' element gathers into du_e)
+            # no longer pays -- plain FGMRES, no Zaux basis.
+            du_e = None
+            du, info_f = fgmres(
+                Fop,
+                r0,
+                M=Mf,
+                restart=cfg.solver.restart,
+                maxiter=cfg.solver.maxiter,
+                precise=cfg.numerics.precise_dots,
+                **tol_kw,
+            )
         u_star = u0 + du.reshape(n, d)
 
         # ---- 2. pressure Poisson in the assembled Schur space ----------
         # M du/dt_eff + G phi = 0 and D(u* + du) = 0 with G = -D^T give
         # S~ phi = -D u* with S~ = D diag(M/dt_eff)^-1 D^T.
-        if explicit:
+        if explicit or op.dbsr is not None:
             rhs_p = -ops.apply_divergence(op, u_star)
         else:
             # u*'s element view for free: u0_e from the stacked step gather,

@@ -109,6 +109,16 @@ class NSOperator:
     # source beat E*n_loc_u rows from a large one.  Built when
     # NumericsConfig.grad_apply resolves to "ell"; single-device only.
     gradt: "object | None" = None
+    # Optional supernode block-sparse forms of the constant D / G blocks
+    # (ops/bsr.py BSRMatrix): every gathered row is a [bs, C] panel (~384 B
+    # -- the measured 43 GB/s wide-row gather regime) and the dense block
+    # values stream at HBM bandwidth, replacing the element-pass divergence
+    # (~22-25 ms at 965k DoF) and the narrow-row ELL gradient (~20.7 ms)
+    # with ~1-2 ms applies.  Values assembled once on the host (float64).
+    # Single-device only (sharded operators and vmapped ensembles strip
+    # them, like wgather_u/gradt).
+    dbsr: "object | None" = None
+    gbsr: "object | None" = None
     # Scatter strategy (static): "gather" uses the precomputed gather-sum
     # plans (fast single-device path; TPU scatter is serialised and slow);
     # "scatter_add" uses jnp .at[].add on the cell index map -- under GSPMD
@@ -422,6 +432,10 @@ def apply_stiffness(op: NSOperator, u: jax.Array) -> jax.Array:
 
 def apply_divergence(op: NSOperator, u: jax.Array) -> jax.Array:
     """y = D u : continuity rows (q, div u) (ref: src/NavierStokes2D.cpp:262)."""
+    if op.dbsr is not None:
+        from navierstokes_project_nm4pde_tpu.ops.bsr import apply_bsr
+
+        return apply_bsr(op.dbsr, u)[:, 0]
     return apply_divergence_e(op, gather_u(op, u))
 
 
@@ -435,6 +449,10 @@ def apply_divergence_e(op: NSOperator, u_e: jax.Array) -> jax.Array:
 
 def apply_gradient(op: NSOperator, p: jax.Array) -> jax.Array:
     """y = G p = -D^T p : momentum rows -(p, div v) (ref: src/NavierStokes2D.cpp:259)."""
+    if op.gbsr is not None:
+        from navierstokes_project_nm4pde_tpu.ops.bsr import apply_bsr
+
+        return apply_bsr(op.gbsr, p[:, None])
     if op.gradt is not None:
         from navierstokes_project_nm4pde_tpu.ops.scatter import (
             apply_weighted_plan,

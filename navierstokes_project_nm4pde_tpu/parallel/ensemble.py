@@ -71,6 +71,14 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         dev_run = _dc.replace(
             dev_run, op=_dc.replace(dev_run.op, gradt=None)
         )
+    if dev_run.op.dbsr is not None or dev_run.op.gbsr is not None:
+        # Same reasoning for the supernode BSR D/G forms: the batched
+        # element passes already gather wide rows, and the BSR broadcast
+        # product would materialise a [B, NB, W, bs, C, bs, C] intermediate
+        # under vmap.
+        dev_run = _dc.replace(
+            dev_run, op=_dc.replace(dev_run.op, dbsr=None, gbsr=None)
+        )
 
     vstep = jax.vmap(
         lambda st, nu, dev: solver.step(st, nu=nu, dev=dev),

@@ -80,6 +80,10 @@ def shard_operator(op: NSOperator, mesh: Mesh) -> NSOperator:
         # The assembled-transpose gradient's row buckets don't follow the
         # cell axis; the element-pass gradient shards cleanly.
         gradt=None,
+        # The supernode BSR D/G forms are node-space assembled (no cell
+        # axis); the element passes shard cleanly instead.
+        dbsr=None,
+        gbsr=None,
     )
     cell_sh = NamedSharding(mesh, P("cells"))
     repl_sh = NamedSharding(mesh, P())
