@@ -71,10 +71,17 @@ def measure():
     # tolerance, validated to the same ES orders / DFG coefficients) or
     # "monolithic" (reference-parity saddle-point FGMRES).
     stepper = os.environ.get("NS_BENCH_STEPPER", "projection")
-    # "implicit" (reference-parity linearised convection inside F) or
-    # "explicit" (C(w)w in the rhs; constant SPD velocity block solved by
-    # CG -- projection only, CFL-safe at the 3D benchmark's dt=2e-4).
+    # "implicit" (reference-parity linearised convection inside F),
+    # "explicit" (C(w)w in the rhs; constant SPD velocity block -- CFL-
+    # unstable at the judged 965k mesh at dt=2e-4), or "imex" (per-cell
+    # partition: implicit C(w) only on the CFL-critical graded cells, the
+    # constant K = M/dt + nu A applied as a supernode BSR operator).
     conv_mode = os.environ.get("NS_BENCH_CONV", "implicit")
+    # IMEX classification knobs: u_max defaults to the problem's peak
+    # inlet speed (u_m = 9), the CFL bound to the conservative measured-
+    # stable point of the fully explicit mode (see TimeConfig).
+    imex_umax = float(os.environ.get("NS_BENCH_IMEX_UMAX", "9.0"))
+    imex_cfl = float(os.environ.get("NS_BENCH_IMEX_CFL", "0.07"))
     # Velocity-solve preconditioner strength: in projection mode plain
     # Jacobi (f_iters=0) measured fastest (PERFORMANCE.md round 2); the
     # monolithic Yosida path needs the inner 4-iteration GMRES smoother.
@@ -112,7 +119,8 @@ def measure():
     t0 = time.time()
     mesh = cylinder_duct_3d(lc=lc, nz=nz)
     cfg = RunConfig(
-        time=TimeConfig(dt=2e-4, t_end=4.0, stepper=stepper, convection=conv_mode),
+        time=TimeConfig(dt=2e-4, t_end=4.0, stepper=stepper, convection=conv_mode,
+                        imex_umax=imex_umax, imex_cfl=imex_cfl),
         solver=SolverConfig(
             rtol=1e-6, restart=restart, maxiter=maxiter, tol_mode=tol_mode,
             # quadratic VELOCITY warm start (pressure increment stays

@@ -212,6 +212,13 @@ class NumericsConfig:
     # Supernode (block) size of the BSR operators.  32 nodes = 384 B
     # gathered rows at dim=3 f32 (the measured full-rate width).
     bsr_block: int = 32
+    # Velocity-block application when the non-convective part is CONSTANT
+    # (projection stepper with convection "explicit" or "imex", scheme
+    # bdf1): "bsr" assembles K = M/dt + nu A once into the supernode BSR
+    # form so every Krylov iteration streams K at wide-row rates instead
+    # of paying the element gather+reduce; "element" keeps the matrix-free
+    # element pass; "auto" picks "bsr" where it applies (single device).
+    vel_apply: str = "auto"
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to
@@ -258,7 +265,25 @@ class TimeConfig:
     # measured: the graded 47k DFG duct is stable at dt=2e-4 and diverges
     # at 5e-4; the 965k duct diverges already at 2e-4, so this mode does
     # NOT serve the ~1M-DoF benchmark).  Projection stepper only.
+    # "imex": per-cell partition of the convection term -- cells whose
+    # size violates the explicit CFL bound (the graded region near the
+    # obstacle) keep the linearised implicit C(w), all others move to the
+    # explicit rhs.  The velocity block is then K + C_fine(w): the
+    # CONSTANT K applies as a supernode BSR operator (wide-row gathers,
+    # ops/bsr.py) and only the small fine subset pays the per-iteration
+    # element pass.  Unconditionally stable on the fine cells by
+    # construction; the explicit cells obey their own CFL bound.
     convection: str = "implicit"
+    # IMEX classification (convection="imex"): a cell is EXPLICIT iff
+    # u_max * dt / h_cell <= imex_cfl with h_cell its shortest edge.
+    # imex_umax defaults to the problem's peak inlet speed when the
+    # problem provides one.  The conservative default CFL is the largest
+    # measured-stable point of the fully explicit mode (the 47k duct at
+    # dt=2e-4: CFL 0.07 stable, 0.174 unstable); raising it grows the
+    # explicit fraction -- A/B against a stability probe before trusting
+    # a higher value.
+    imex_umax: Optional[float] = None
+    imex_cfl: float = 0.07
 
     @property
     def n_steps(self) -> int:

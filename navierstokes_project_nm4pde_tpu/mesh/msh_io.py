@@ -1,9 +1,10 @@
-"""gmsh `.msh` file I/O (ASCII v2.2 and v4.1).
+"""gmsh `.msh` file I/O (ASCII and binary, v2.2 and v4.1).
 
-Replaces deal.II's `GridIn::read_msh` (ref: src/NavierStokes2D.cpp:10-14).
-Reads linear simplices (triangles/tets) plus the tagged boundary facets
-(lines in 2D, triangles in 3D); the physical tag of each facet becomes
-`Mesh.bface_tag`, matching the reference's boundary-id scheme.
+Replaces deal.II's `GridIn::read_msh` (ref: src/NavierStokes2D.cpp:10-14),
+which accepts both ASCII and binary gmsh files.  Reads linear simplices
+(triangles/tets) plus the tagged boundary facets (lines in 2D, triangles
+in 3D); the physical tag of each facet becomes `Mesh.bface_tag`, matching
+the reference's boundary-id scheme.
 """
 
 from __future__ import annotations
@@ -16,35 +17,46 @@ from navierstokes_project_nm4pde_tpu.mesh.core import Mesh
 _LINE = 1
 _TRI = 2
 _TET = 4
+_NNODE = {_LINE: 2, _TRI: 3, _TET: 4}
 
 
 def read_msh(path: str) -> Mesh:
-    with open(path, "r") as f:
-        lines = f.read().splitlines()
-    version = None
+    with open(path, "rb") as f:
+        data = f.read()
+    # $MeshFormat: "version file-type data-size"; file-type 1 = binary.
+    head = data.split(b"\n", 3)
+    if not head or head[0].strip() != b"$MeshFormat":
+        raise ValueError(f"{path}: not a gmsh .msh file")
+    fmt = head[1].split()
+    version = float(fmt[0])
+    binary = len(fmt) > 1 and int(fmt[1]) == 1
+
     nodes = {}
     elements = []  # (etype, phys_tag, [node ids])
     ent_phys = {}  # (entity_dim, entity_tag) -> physical tag  (v4.x only)
-    i = 0
-    while i < len(lines):
-        line = lines[i].strip()
-        if line == "$MeshFormat":
-            version = float(lines[i + 1].split()[0])
-            i += 3
-        elif line == "$Entities":
-            i = _read_entities_v4(lines, i + 1, ent_phys, version)
-        elif line == "$Nodes":
-            if version is not None and version >= 4.0:
-                i = _read_nodes_v4(lines, i + 1, nodes)
+    if binary:
+        _read_msh_binary(data, version, nodes, elements, ent_phys)
+    else:
+        lines = data.decode("utf-8", errors="replace").splitlines()
+        i = 0
+        while i < len(lines):
+            line = lines[i].strip()
+            if line == "$MeshFormat":
+                i += 3
+            elif line == "$Entities":
+                i = _read_entities_v4(lines, i + 1, ent_phys, version)
+            elif line == "$Nodes":
+                if version >= 4.0:
+                    i = _read_nodes_v4(lines, i + 1, nodes)
+                else:
+                    i = _read_nodes_v2(lines, i + 1, nodes)
+            elif line == "$Elements":
+                if version >= 4.0:
+                    i = _read_elements_v4(lines, i + 1, elements, ent_phys)
+                else:
+                    i = _read_elements_v2(lines, i + 1, elements)
             else:
-                i = _read_nodes_v2(lines, i + 1, nodes)
-        elif line == "$Elements":
-            if version is not None and version >= 4.0:
-                i = _read_elements_v4(lines, i + 1, elements, ent_phys)
-            else:
-                i = _read_elements_v2(lines, i + 1, elements)
-        else:
-            i += 1
+                i += 1
 
     if not nodes:
         raise ValueError(f"no nodes found in {path}")
@@ -89,6 +101,139 @@ def read_msh(path: str) -> Mesh:
         keep = np.array([kk in bnd for kk in bk.tolist()])
         mesh = Mesh(coords, mesh.cells, mesh.bface_verts[keep], mesh.bface_tag[keep])
     return mesh
+
+
+class _BinCursor:
+    """Sequential reader over a gmsh binary .msh byte buffer (mixed ASCII
+    section markers + packed little-endian records)."""
+
+    def __init__(self, data: bytes, off: int = 0):
+        self.d = data
+        self.o = off
+
+    def line(self) -> str:
+        j = self.d.index(b"\n", self.o)
+        s = self.d[self.o:j].decode("utf-8", "replace").strip()
+        self.o = j + 1
+        return s
+
+    def skip_ws(self):
+        while self.o < len(self.d) and self.d[self.o] in b" \r\n\t":
+            self.o += 1
+
+    def read(self, dtype, n: int) -> np.ndarray:
+        a = np.frombuffer(self.d, dtype=dtype, count=n, offset=self.o)
+        self.o += a.nbytes
+        return a
+
+
+def _read_msh_binary(data, version, nodes, elements, ent_phys):
+    """Binary v2.2 / v4.1 (little-endian; deal.II's read_msh accepts the
+    same binary files, ref: src/NavierStokes2D.cpp:10-14)."""
+    cur = _BinCursor(data, 0)
+    assert cur.line() == "$MeshFormat"
+    fmt = cur.line().split()
+    dsize = int(fmt[2]) if len(fmt) > 2 else 8
+    one = int(cur.read(np.int32, 1)[0])
+    if one != 1:
+        raise ValueError("big-endian binary .msh is not supported")
+    szt = np.int64 if dsize == 8 else np.int32
+    cur.skip_ws()
+    assert cur.line() == "$EndMeshFormat"
+
+    while True:
+        cur.skip_ws()
+        if cur.o >= len(cur.d):
+            break
+        sec = cur.line()
+        if sec == "$Entities" and version >= 4.0:
+            cnts = [int(x) for x in cur.read(szt, 4)]
+            for _ in range(cnts[0]):  # points: tag, xyz, phys
+                tag = int(cur.read(np.int32, 1)[0])
+                cur.read(np.float64, 3)
+                nph = int(cur.read(szt, 1)[0])
+                phys = cur.read(np.int32, nph)
+                if nph:
+                    ent_phys[(0, tag)] = int(phys[0])
+            for dim in (1, 2, 3):
+                for _ in range(cnts[dim]):  # tag, bbox, phys, bounding
+                    tag = int(cur.read(np.int32, 1)[0])
+                    cur.read(np.float64, 6)
+                    nph = int(cur.read(szt, 1)[0])
+                    phys = cur.read(np.int32, nph)
+                    if nph:
+                        ent_phys[(dim, tag)] = int(phys[0])
+                    nb = int(cur.read(szt, 1)[0])
+                    cur.read(np.int32, nb)
+            cur.skip_ws()
+            assert cur.line() == "$EndEntities"
+        elif sec == "$Nodes":
+            if version >= 4.0:
+                nb_, _nn, _mn, _mx = (int(x) for x in cur.read(szt, 4))
+                for _ in range(nb_):
+                    cur.read(np.int32, 3)  # entityDim, entityTag, parametric
+                    num = int(cur.read(szt, 1)[0])
+                    tags = cur.read(szt, num)
+                    xyz = cur.read(np.float64, 3 * num).reshape(num, 3)
+                    for t, p in zip(tags, xyz):
+                        nodes[int(t)] = (p[0], p[1], p[2])
+            else:
+                num = int(cur.line().split()[0])
+                rec = cur.read(np.uint8, num * 28).reshape(num, 28)
+                ids = rec[:, :4].copy().view(np.int32).ravel()
+                xyz = rec[:, 4:].copy().view(np.float64).reshape(num, 3)
+                for t, p in zip(ids, xyz):
+                    nodes[int(t)] = (p[0], p[1], p[2])
+            cur.skip_ws()
+            assert cur.line() == "$EndNodes"
+        elif sec == "$Elements":
+            if version >= 4.0:
+                nb_, _ne, _mn, _mx = (int(x) for x in cur.read(szt, 4))
+                for _ in range(nb_):
+                    edim, etag, etype = (int(x) for x in cur.read(np.int32, 3))
+                    num = int(cur.read(szt, 1)[0])
+                    nn = _NNODE.get(etype)
+                    if nn is None:
+                        raise ValueError(
+                            f"unsupported element type {etype} in binary .msh"
+                        )
+                    rec = cur.read(szt, num * (1 + nn)).reshape(num, 1 + nn)
+                    tag = ent_phys.get((edim, etag), etag)
+                    for r in rec:
+                        elements.append((etype, tag, [int(x) for x in r[1:]]))
+            else:
+                ne = int(cur.line().split()[0])
+                done = 0
+                while done < ne:
+                    etype, num, ntags = (
+                        int(x) for x in cur.read(np.int32, 3)
+                    )
+                    nn = _NNODE.get(etype)
+                    if nn is None:
+                        raise ValueError(
+                            f"unsupported element type {etype} in binary .msh"
+                        )
+                    rec = cur.read(
+                        np.int32, num * (1 + ntags + nn)
+                    ).reshape(num, 1 + ntags + nn)
+                    for r in rec:
+                        phys = int(r[1]) if ntags >= 1 else 0
+                        elements.append(
+                            (etype, phys, [int(x) for x in r[1 + ntags:]])
+                        )
+                    done += num
+            cur.skip_ws()
+            assert cur.line() == "$EndElements"
+        elif sec.startswith("$End"):
+            continue
+        elif sec.startswith("$"):
+            # unknown section: skip to its end marker
+            endm = ("$End" + sec[1:]).encode()
+            j = data.find(endm, cur.o)
+            if j < 0:
+                break
+            cur.o = j + len(endm)
+        # stray text between sections: ignore
 
 
 def _read_nodes_v2(lines, i, nodes):
@@ -172,13 +317,15 @@ def _read_elements_v4(lines, i, elements, ent_phys):
     return i + 1
 
 
-def write_msh_v41(mesh: Mesh, path: str) -> None:
-    """Write a v4.1 ASCII `.msh` with proper $Entities physical groups.
+def write_msh_v41(mesh: Mesh, path: str, binary: bool = False) -> None:
+    """Write a v4.1 `.msh` with proper $Entities physical groups.
 
     Each boundary tag t becomes its own facet entity with *geometric* tag
     t + 1 and *physical* tag t, so a reader that wrongly uses entity tags
     produces visibly wrong boundary ids (the round-trip test relies on
     this to pin the entity -> physical mapping)."""
+    if binary:
+        return _write_msh_v41_binary(mesh, path)
     dim = mesh.dim
     fdim = dim - 1
     tags = sorted(set(int(t) for t in mesh.bface_tag))
@@ -235,8 +382,100 @@ def write_msh_v41(mesh: Mesh, path: str) -> None:
         f.write("$EndElements\n")
 
 
-def write_msh(mesh: Mesh, path: str) -> None:
-    """Write a v2.2 ASCII `.msh` (round-trip capable with `read_msh`)."""
+def _write_msh_v2_binary(mesh: Mesh, path: str) -> None:
+    dim = mesh.dim
+    n = mesh.n_vertices
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n2.2 1 8\n")
+        f.write(np.array([1], "<i4").tobytes())
+        f.write(b"\n$EndMeshFormat\n")
+        f.write(f"$Nodes\n{n}\n".encode())
+        blob = np.zeros(n, dtype=[("id", "<i4"), ("xyz", "<f8", (3,))])
+        blob["id"] = np.arange(1, n + 1)
+        blob["xyz"][:, :dim] = mesh.coords
+        f.write(blob.tobytes())
+        f.write(b"\n$EndNodes\n")
+        nf, nc = mesh.n_bfaces, mesh.n_cells
+        f.write(f"$Elements\n{nf + nc}\n".encode())
+        ftype = _LINE if dim == 2 else _TRI
+        f.write(np.array([ftype, nf, 2], "<i4").tobytes())
+        fr = np.empty((nf, 3 + dim), "<i4")
+        fr[:, 0] = np.arange(1, nf + 1)
+        fr[:, 1] = mesh.bface_tag
+        fr[:, 2] = mesh.bface_tag
+        fr[:, 3:] = mesh.bface_verts + 1
+        f.write(fr.tobytes())
+        ctype = _TRI if dim == 2 else _TET
+        f.write(np.array([ctype, nc, 2], "<i4").tobytes())
+        cr = np.empty((nc, 4 + dim), "<i4")
+        cr[:, 0] = np.arange(nf + 1, nf + nc + 1)
+        cr[:, 1] = 0
+        cr[:, 2] = 0
+        cr[:, 3:] = mesh.cells + 1
+        f.write(cr.tobytes())
+        f.write(b"\n$EndElements\n")
+
+
+def _write_msh_v41_binary(mesh: Mesh, path: str) -> None:
+    dim = mesh.dim
+    fdim = dim - 1
+    tags = sorted(set(int(t) for t in mesh.bface_tag))
+    lo = mesh.coords.min(axis=0)
+    hi = mesh.coords.max(axis=0)
+    bbox = np.zeros(6)
+    bbox[:dim] = lo
+    bbox[3:3 + dim] = hi
+    i4 = lambda *v: np.array(v, "<i4").tobytes()  # noqa: E731
+    i8 = lambda *v: np.array(v, "<i8").tobytes()  # noqa: E731
+    f8 = lambda a: np.asarray(a, "<f8").tobytes()  # noqa: E731
+    n = mesh.n_vertices
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n4.1 1 8\n")
+        f.write(i4(1))
+        f.write(b"\n$EndMeshFormat\n")
+        counts = [0, 0, 0, 0]
+        counts[fdim] = len(tags)
+        counts[dim] = 1
+        f.write(b"$Entities\n")
+        f.write(i8(*counts))
+        for t in tags:  # facet entities: geometric tag t+1, physical tag t
+            f.write(i4(t + 1) + f8(bbox) + i8(1) + i4(t) + i8(0))
+        f.write(i4(1) + f8(bbox) + i8(0) + i8(0))  # cell entity, no phys
+        f.write(b"\n$EndEntities\n")
+        f.write(b"$Nodes\n")
+        f.write(i8(1, n, 1, n))
+        f.write(i4(dim, 1, 0) + i8(n))
+        f.write(np.arange(1, n + 1, dtype="<i8").tobytes())
+        xyz = np.zeros((n, 3))
+        xyz[:, :dim] = mesh.coords
+        f.write(f8(xyz))
+        f.write(b"\n$EndNodes\n")
+        nf, nc = mesh.n_bfaces, mesh.n_cells
+        f.write(b"$Elements\n")
+        f.write(i8(len(tags) + 1, nf + nc, 1, nf + nc))
+        eid = 1
+        ftype = _LINE if dim == 2 else _TRI
+        for t in tags:
+            sel = np.where(mesh.bface_tag == t)[0]
+            f.write(i4(fdim, t + 1, ftype) + i8(len(sel)))
+            rec = np.empty((len(sel), 1 + dim), "<i8")
+            rec[:, 0] = eid + np.arange(len(sel))
+            rec[:, 1:] = mesh.bface_verts[sel] + 1
+            f.write(rec.tobytes())
+            eid += len(sel)
+        ctype = _TRI if dim == 2 else _TET
+        f.write(i4(dim, 1, ctype) + i8(nc))
+        rec = np.empty((nc, 2 + dim), "<i8")
+        rec[:, 0] = eid + np.arange(nc)
+        rec[:, 1:] = mesh.cells + 1
+        f.write(rec.tobytes())
+        f.write(b"\n$EndElements\n")
+
+
+def write_msh(mesh: Mesh, path: str, binary: bool = False) -> None:
+    """Write a v2.2 `.msh` (round-trip capable with `read_msh`)."""
+    if binary:
+        return _write_msh_v2_binary(mesh, path)
     dim = mesh.dim
     with open(path, "w") as f:
         f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")

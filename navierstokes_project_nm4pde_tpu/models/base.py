@@ -150,6 +150,13 @@ class DeviceData:
     # at setup for the folded convection path (None when fold_elem is off;
     # ~400 B/cell -- the same footprint the per-step F_e fold already pays).
     conv_base: "jax.Array | None" = None
+    # IMEX fine-subset tables (ops/operators.py ImexTables) and the
+    # constant-K supernode BSR operator (ops/bsr.py): the fast velocity
+    # apply F u = K_bsr u + C_fine(w) u.  Single-device only -- sharded
+    # and vmapped runs strip both and fall back to the masked element
+    # fold (identical operator).
+    imex: "object | None" = None
+    kbsr: "object | None" = None
 
 
 @jax.tree_util.register_dataclass
@@ -195,13 +202,20 @@ class NavierStokesSolver:
                 _t[0] = now
 
         cfg = self.config
-        if cfg.time.convection not in ("implicit", "explicit"):
+        if cfg.time.convection not in ("implicit", "explicit", "imex"):
             raise ValueError(f"unknown convection mode: {cfg.time.convection}")
-        if cfg.time.convection == "explicit" and cfg.time.stepper != "projection":
+        if cfg.time.convection not in ("implicit",) and (
+            cfg.time.stepper != "projection"
+        ):
             raise ValueError(
-                "convection='explicit' requires the projection stepper "
-                "(the monolithic saddle-point path keeps the reference's "
-                "linearised-implicit convection)"
+                f"convection={cfg.time.convection!r} requires the projection "
+                "stepper (the monolithic saddle-point path keeps the "
+                "reference's linearised-implicit convection)"
+            )
+        if cfg.time.convection == "imex" and cfg.time.imex_umax is None:
+            raise ValueError(
+                "convection='imex' requires TimeConfig.imex_umax (the CFL "
+                "velocity scale of the per-cell explicit/implicit partition)"
             )
         _wants_banded = (
             cfg.time.stepper == "projection"
@@ -424,6 +438,81 @@ class NavierStokesSolver:
         elif _da != "element":
             raise ValueError(f"unknown div_apply: {cfg.numerics.div_apply}")
         _mark("assembled D/G forms")
+
+        # IMEX convection partition: cells violating the explicit CFL bound
+        # (u_max dt / h_cell > imex_cfl, h_cell = shortest edge) keep the
+        # linearised implicit C(w); the rest move to the explicit rhs.
+        self._imex = None
+        self._imex_frac = None
+        if cfg.time.convection == "imex":
+            import dataclasses as _dc
+
+            cc = self.mesh.coords[self.mesh.cells]  # [E, nvloc, dim]
+            nvloc = cc.shape[1]
+            h = None
+            for i in range(nvloc):
+                for j in range(i + 1, nvloc):
+                    e = np.linalg.norm(cc[:, i] - cc[:, j], axis=1)
+                    h = e if h is None else np.minimum(h, e)
+            implicit = (
+                cfg.time.imex_umax * cfg.time.dt / np.maximum(h, 1e-300)
+                > cfg.time.imex_cfl
+            )
+            self._imex_frac = float(implicit.mean())
+            self.op = _dc.replace(
+                self.op,
+                imex_scale=jnp.asarray(
+                    implicit.astype(np.float64), self.dtype
+                ),
+            )
+            if implicit.any():
+                self._imex = ops.build_imex_tables(
+                    self.space, self.geom, np.nonzero(implicit)[0],
+                    self.dtype,
+                )
+            if _verbose:
+                import sys
+
+                print(
+                    f"# imex: {self._imex_frac:.1%} of cells implicit "
+                    f"(h* = {cfg.time.imex_umax * cfg.time.dt / cfg.time.imex_cfl:.4f})",
+                    file=sys.stderr,
+                )
+
+        # Constant-K velocity block as a supernode BSR operator: valid when
+        # the non-convective block is CONSTANT across warm steps
+        # (projection + explicit/imex convection + bdf1).
+        self._kbsr = None
+        _va = cfg.numerics.vel_apply
+        _const_K = (
+            cfg.time.stepper == "projection"
+            and cfg.time.convection in ("explicit", "imex")
+            and cfg.time.scheme == "bdf1"
+        )
+        if _va == "auto":
+            _va = "bsr" if _const_K else "element"
+        if _va == "bsr":
+            if not _const_K:
+                raise ValueError(
+                    "vel_apply='bsr' requires the projection stepper with "
+                    "convection 'explicit'/'imex' and scheme 'bdf1' (the "
+                    "velocity block must be constant)"
+                )
+            from navierstokes_project_nm4pde_tpu.ops.bsr import (
+                build_velocity_kbsr,
+            )
+            from navierstokes_project_nm4pde_tpu.ops.tables import (
+                build_ref_tables,
+            )
+
+            self._kbsr = build_velocity_kbsr(
+                self.space, self.geom, build_ref_tables(self.space.dim),
+                self.problem.nu, cfg.time.dt, bs=cfg.numerics.bsr_block,
+                dtype=self.dtype,
+            )
+            _mark("constant-K BSR")
+        elif _va != "element":
+            raise ValueError(f"unknown vel_apply: {cfg.numerics.vel_apply}")
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 
@@ -691,6 +780,8 @@ class NavierStokesSolver:
             f_lam0=getattr(self, "_f_lam0", None),
             proj_schur=getattr(self, "_proj_schur", None),
             conv_base=self._conv_base,
+            imex=getattr(self, "_imex", None),
+            kbsr=getattr(self, "_kbsr", None),
         )
 
     # ------------------------------------------------------------------
@@ -1029,9 +1120,12 @@ class NavierStokesSolver:
         # b = M h - G p_n and the warm-start residual r0 = b - F u0 in ONE
         # fused element pass + ONE dual-channel reduction (the reduce is
         # row-rate bound, so the second output is free; separately they
-        # were the two largest fixed costs of the step).
+        # were the two largest fixed costs of the step).  Under IMEX the
+        # explicit cells' convection rhs -(1-s) N(w) fuses into the same
+        # pass (w_e is already gathered).
         b_u, r0_u = ops.apply_rhs_and_r0(
-            op, hist, state.p, nu, dt_eff, conv, u0, h_e=h_e, u0_e=u0_e
+            op, hist, state.p, nu, dt_eff, conv, u0, h_e=h_e, u0_e=u0_e,
+            w_e=(w_e if (not explicit and op.imex_scale is not None) else None),
         )
         if explicit:
             b_u = b_u - conv_rhs
@@ -1043,10 +1137,33 @@ class NavierStokesSolver:
         rhs_u = jnp.where(mask[:, None], g, b_u)
         r0_u = jnp.where(mask[:, None], 0.0, r0_u)
 
-        def Fop(v):
-            u = v.reshape(n, d)
-            y = ops.apply_F(op, nu, dt_eff, conv, u)
-            return jnp.where(mask[:, None], u, y).reshape(-1)
+        if dev.kbsr is not None:
+            from navierstokes_project_nm4pde_tpu.ops.bsr import (
+                apply_bsr_scalar,
+            )
+
+            # Constant-K fast path: K streams as a supernode BSR operator
+            # (wide-row block gathers); only the IMEX fine subset pays a
+            # per-iteration element pass.
+            C_ef = None
+            if dev.imex is not None and not explicit:
+                C_ef = ops.convection_fine_fold(
+                    op, dev.imex, w_e[dev.imex.f_idx]
+                )
+
+            def Fop(v):
+                u = v.reshape(n, d)
+                y = apply_bsr_scalar(dev.kbsr, u)
+                if C_ef is not None:
+                    y = y + ops.apply_convection_fine(op, dev.imex, C_ef, u)
+                return jnp.where(mask[:, None], u, y).reshape(-1)
+
+        else:
+
+            def Fop(v):
+                u = v.reshape(n, d)
+                y = ops.apply_F(op, nu, dt_eff, conv, u)
+                return jnp.where(mask[:, None], u, y).reshape(-1)
 
         def Fop_aux(v):
             # aux = the element-DoF gather of the input: fgmres(aux=True)
@@ -1099,7 +1216,7 @@ class NavierStokesSolver:
                 maxiter=cfg.solver.maxiter,
                 precise=cfg.numerics.precise_dots,
             )
-        elif op.dbsr is None:
+        elif op.dbsr is None and dev.kbsr is None:
             du, info_f, du_e = fgmres(
                 Fop_aux,
                 r0,
@@ -1129,7 +1246,7 @@ class NavierStokesSolver:
         # ---- 2. pressure Poisson in the assembled Schur space ----------
         # M du/dt_eff + G phi = 0 and D(u* + du) = 0 with G = -D^T give
         # S~ phi = -D u* with S~ = D diag(M/dt_eff)^-1 D^T.
-        if explicit or op.dbsr is not None:
+        if explicit or op.dbsr is not None or dev.kbsr is not None:
             rhs_p = -ops.apply_divergence(op, u_star)
         else:
             # u*'s element view for free: u0_e from the stacked step gather,

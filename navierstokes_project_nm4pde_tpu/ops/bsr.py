@@ -3,26 +3,28 @@
 The gather rate on this backend is ROW-rate bound, not byte bound: ~10 ns
 per row for 12 B rows but ~43 GB/s once rows are ~384 B wide
 (PERFORMANCE.md, "Measured backend characteristics").  Grouping `bs`
-RCM-consecutive nodes into one supernode makes every gathered row a
-[bs, C] panel (384 B at bs=32, C=3 f32), so an assembled operator whose
-sparsity follows the supernode adjacency streams its source at the
-wide-row rate, while the dense [bs, bs] blocks are one fused VPU
-multiply-reduce over a value array that reads at plain HBM bandwidth.
+consecutive nodes into one supernode makes every gathered row a [bs, C]
+panel, so an assembled operator whose sparsity follows the supernode
+adjacency streams its source at the wide-row rate, while the dense
+[bs, bs] blocks are one fused multiply-reduce over a value array that
+reads at plain HBM bandwidth.
 
 Used for the constant blocks of the time step -- the divergence D and the
 pressure gradient G = -D^T (the reference's B / -B^T blocks,
-ref: src/NavierStokes2D.cpp:259-262), and optionally the constant SPD
-velocity block K = M/dt + nu A of the explicit-convection stepper.  Their
-values are assembled once on the host in float64; only nnz-level COO
-triples cross the host->device tunnel (the dense block values are
-materialised by a one-time on-device scatter -- transfer is the scarce
-resource at ~1M DoF, not one-time device work).
+ref: src/NavierStokes2D.cpp:259-262), and the constant velocity block
+K = M/dt + nu A of the explicit/IMEX steppers.  Values are assembled once
+on the host in float64; only nnz-level COO triples cross the
+host->device tunnel (the dense block values are materialised by a
+one-time on-device scatter -- transfer is the scarce resource at ~1M
+DoF, not one-time device work).
 
-Why this beats the round-3 forms at bench scale (965k DoF): the
-element-pass divergence costs ~22-25 ms (element gather + contraction +
-big slot reduce) and the assembled-ELL gradient ~20.7 ms (nnz(D) narrow
-row gathers); the BSR forms gather ~26k / ~49k WIDE rows and stream one
-0.3-0.6 GB value array => ~1-2 ms each.
+Block rows are VALENCE-BUCKETED (same scheme as scatter.WeightedPlan):
+the neighbor count distribution is heavy-tailed (measured at 609k DoF,
+bs=32: D row blocks average 66 neighbor blocks but max 120; K averages
+32, max 120 -- a single padded width would store 2-4x the exact block
+count), so rows are grouped by neighbor-count class and each bucket gets
+a tight width.  Outputs are restored to natural order by one block-level
+gather.
 """
 
 from __future__ import annotations
@@ -37,16 +39,19 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BSRMatrix:
-    """Block-ELL operator [n_rows x n_src] with Cout x Cin component blocks.
+    """Bucketed block-ELL operator [n_rows x n_src], Cout x Cin component
+    blocks:
 
-    y[I*bs + a, o] = sum_{w, b, i} vals[I, w, a, o, b, i] * x[cols[I, w]*bs + b, i]
+    y[R*bs + a, o] = sum_{w, b, i} vals[R, w, a, o, b, i]
+                                   * x[cols[R, w]*bs + b, i]
 
-    `cols` pads with `nb_src` (a zero source block appended at apply time);
-    padded value blocks are zero.  Source/destination rows beyond
-    n_src/n_rows are padding."""
+    with R running over permuted block rows (buckets concatenated;
+    `row_unperm` restores natural block order).  `cols` pads with
+    `nb_src` (a zero source block appended at apply time)."""
 
-    cols: jax.Array  # [NB, W] int32 source-block ids (pad = nb_src)
-    vals: jax.Array  # [NB, W, bs, Cout, bs, Cin]
+    cols: tuple  # per bucket [rows_b, W_b] int32 source-block ids
+    vals: tuple  # per bucket [rows_b, W_b, bs, Cout, bs, Cin]
+    row_unperm: jax.Array  # [NB] int32 block-row inverse permutation
     nb_src: int = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_src: int = dataclasses.field(metadata=dict(static=True))
@@ -59,11 +64,19 @@ class BSRMatrix:
 
     @property
     def cout(self) -> int:
-        return self.vals.shape[3]
+        return self.vals[0].shape[3]
 
     @property
     def cin(self) -> int:
-        return self.vals.shape[5]
+        return self.vals[0].shape[5]
+
+    @property
+    def value_bytes(self) -> int:
+        return sum(v.size * v.dtype.itemsize for v in self.vals)
+
+    @property
+    def gathered_rows(self) -> int:
+        return sum(c.shape[0] * c.shape[1] for c in self.cols)
 
 
 def build_bsr(
@@ -75,13 +88,15 @@ def build_bsr(
     bs: int = 32,
     dtype=jnp.float32,
     contraction: str = "vpu",
+    min_rows: int = 256,
 ) -> BSRMatrix:
     """Build a BSRMatrix from COO triples (duplicate (row, col) pairs must
     already be merged).  `vals` is [nnz, Cout, Cin] ([nnz] => 1x1 blocks).
 
-    Host side computes only the block pattern and flat scatter indices;
-    the dense value array is materialised on device (sorted unique scatter,
-    one-time)."""
+    Host side computes the block pattern, the valence buckets, and flat
+    scatter indices; the dense value arrays are materialised on device
+    (sorted unique scatter, one-time).  `min_rows` controls bucket
+    granularity exactly like scatter.build_weighted_plan."""
     rows = np.asarray(rows, dtype=np.int64).reshape(-1)
     cols = np.asarray(cols, dtype=np.int64).reshape(-1)
     vals = np.asarray(vals)
@@ -96,55 +111,94 @@ def build_bsr(
     J = cols // bs
     b = cols % bs
 
-    # Block pattern: unique (I, J), ELL-padded per block row.
+    # Block pattern: unique (I, J), sorted so one row's blocks are runs.
     key = I * nb_src + J
     uniq, inv = np.unique(key, return_inverse=True)
     bI = uniq // nb_src
     bJ = uniq % nb_src
     counts = np.bincount(bI, minlength=NB)
-    W = max(int(counts.max()) if counts.size else 1, 1)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    # np.unique returns keys sorted, so blocks of one row are consecutive.
+
+    # Valence buckets over block rows (cut at count changes once the
+    # current bucket holds >= min_rows rows).
+    row_order = np.argsort(counts, kind="stable")
+    unperm = np.empty(NB, dtype=np.int64)
+    unperm[row_order] = np.arange(NB)
+    cnt_sorted = counts[row_order]
+    cuts = [0]
+    run = 0
+    for i in range(1, NB):
+        run += 1
+        if cnt_sorted[i] != cnt_sorted[i - 1] and run >= min_rows:
+            cuts.append(i)
+            run = 0
+    cuts.append(NB)
+
+    # Per block: its bucket, its (local) row within the bucket, its slot.
+    bucket_of_row = np.empty(NB, dtype=np.int64)
+    local_row = np.empty(NB, dtype=np.int64)
+    widths = []
+    for t in range(len(cuts) - 1):
+        rows_t = row_order[cuts[t]:cuts[t + 1]]
+        bucket_of_row[rows_t] = t
+        local_row[rows_t] = np.arange(len(rows_t))
+        widths.append(max(int(counts[rows_t].max()) if rows_t.size else 1, 1))
     slot_of_block = np.arange(len(uniq)) - starts[bI]  # w slot per block
-    col_table = np.full((NB, W), nb_src, dtype=np.int64)
-    col_table[bI, slot_of_block] = bJ
 
-    # Flat dense index per COO component entry.
-    blk = inv  # block id per nnz
-    w = slot_of_block[blk]
-    base = (((I * W + w) * bs + a) * Cout)  # [nnz]
-    o_idx = np.arange(Cout, dtype=np.int64)
-    i_idx = np.arange(Cin, dtype=np.int64)
-    flat = (
-        (base[:, None, None] + o_idx[None, :, None]) * (bs * Cin)
-        + (b[:, None, None] * Cin + i_idx[None, None, :])
-    ).reshape(-1)
-    v_flat = vals.reshape(-1)
-    # Drop exact zeros (ELL padding upstream); sort for the device scatter.
-    keep = v_flat != 0.0
-    flat, v_flat = flat[keep], v_flat[keep]
-    order = np.argsort(flat)
-    flat, v_flat = flat[order], v_flat[order]
+    col_tabs = []
+    val_tabs = []
+    # Per-entry flat index into its bucket's dense value array.
+    blk = inv  # block id per nnz entry
+    eI = bI[blk]
+    for t in range(len(cuts) - 1):
+        rows_t = row_order[cuts[t]:cuts[t + 1]]
+        W = widths[t]
+        ct = np.full((len(rows_t), W), nb_src, dtype=np.int64)
+        sel_blocks = bucket_of_row[bI] == t
+        ct[local_row[bI[sel_blocks]], slot_of_block[sel_blocks]] = bJ[
+            sel_blocks
+        ]
+        col_tabs.append(jnp.asarray(ct, jnp.int32))
 
-    N_total = NB * W * bs * Cout * bs * Cin
-    if N_total >= np.iinfo(np.int32).max:
-        raise ValueError(
-            f"BSR dense value array too large for int32 indexing "
-            f"({N_total}); reduce bs or bucket the rows"
+        sel = bucket_of_row[eI] == t
+        base = (
+            (local_row[eI[sel]] * W + slot_of_block[blk[sel]]) * bs + a[sel]
+        ) * Cout
+        o_idx = np.arange(Cout, dtype=np.int64)
+        i_idx = np.arange(Cin, dtype=np.int64)
+        flat = (
+            (base[:, None, None] + o_idx[None, :, None]) * (bs * Cin)
+            + (b[sel][:, None, None] * Cin + i_idx[None, None, :])
+        ).reshape(-1)
+        v_flat = vals[sel].reshape(-1)
+        keep = v_flat != 0.0
+        flat, v_flat = flat[keep], v_flat[keep]
+        order = np.argsort(flat)
+        flat, v_flat = flat[order], v_flat[order]
+        N_total = len(rows_t) * W * bs * Cout * bs * Cin
+        if N_total >= np.iinfo(np.int32).max:
+            raise ValueError(
+                f"BSR bucket value array too large for int32 indexing "
+                f"({N_total}); reduce bs"
+            )
+        dense = (
+            jnp.zeros((max(N_total, 1),), dtype)
+            .at[jnp.asarray(flat, jnp.int32)]
+            .set(
+                jnp.asarray(v_flat, dtype),
+                unique_indices=True,
+                indices_are_sorted=True,
+            )
+            .reshape(max(len(rows_t), 1), W, bs, Cout, bs, Cin)[
+                : len(rows_t)
+            ]
         )
-    dense = (
-        jnp.zeros((N_total,), dtype)
-        .at[jnp.asarray(flat, jnp.int32)]
-        .set(
-            jnp.asarray(v_flat, dtype),
-            unique_indices=True,
-            indices_are_sorted=True,
-        )
-        .reshape(NB, W, bs, Cout, bs, Cin)
-    )
+        val_tabs.append(dense)
+
     return BSRMatrix(
-        cols=jnp.asarray(col_table, jnp.int32),
-        vals=dense,
+        cols=tuple(col_tabs),
+        vals=tuple(val_tabs),
+        row_unperm=jnp.asarray(unperm, jnp.int32),
         nb_src=nb_src,
         n_rows=n_rows,
         n_src=n_src,
@@ -153,20 +207,81 @@ def build_bsr(
     )
 
 
+def _pad_source(m: BSRMatrix, x: jax.Array) -> jax.Array:
+    """[n_src, C] -> [nb_src + 1, bs, C] with a trailing zero pad block."""
+    C = x.shape[1]
+    pad = m.nb_src * m.bs - m.n_src
+    xp = jnp.concatenate([x, jnp.zeros((pad + m.bs, C), x.dtype)], axis=0)
+    return xp.reshape(m.nb_src + 1, m.bs, C)
+
+
+def _unpermute(m: BSRMatrix, outs: list) -> jax.Array:
+    y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    y = y[m.row_unperm]  # block-level gather (wide rows, cheap)
+    return y.reshape(-1, y.shape[-1])[: m.n_rows]
+
+
 def apply_bsr(m: BSRMatrix, x: jax.Array) -> jax.Array:
     """y = A x: [n_src, Cin] -> [n_rows, Cout]."""
-    bs, Cin = m.bs, m.cin
-    pad = m.nb_src * bs - m.n_src
-    xp = jnp.concatenate(
-        [x, jnp.zeros((pad + bs, Cin), x.dtype)], axis=0
-    )  # trailing zero block = the cols pad target
-    xb = xp.reshape(m.nb_src + 1, bs, Cin)
-    g = xb[m.cols]  # [NB, W, bs, Cin] -- wide-row gather
-    if m.contraction == "vpu":
-        y = (m.vals * g[:, :, None, None, :, :]).sum(axis=(1, 4, 5))
-    else:
-        y = jnp.einsum("nwaobi,nwbi->nao", m.vals, g)
-    return y.reshape(-1, m.cout)[: m.n_rows]
+    xb = _pad_source(m, x)
+    outs = []
+    for ct, vt in zip(m.cols, m.vals):
+        g = xb[ct]  # [rows_b, W, bs, Cin] -- wide-row gather
+        if m.contraction == "vpu":
+            y = (vt * g[:, :, None, None, :, :]).sum(axis=(1, 4, 5))
+        else:
+            y = jnp.einsum("nwaobi,nwbi->nao", vt, g)
+        outs.append(y)
+    return _unpermute(m, outs)
+
+
+def apply_bsr_scalar(m: BSRMatrix, x: jax.Array) -> jax.Array:
+    """y = (A x_c) per channel c for a scalar-block BSRMatrix (1x1
+    component blocks): [n_src, C] -> [n_rows, C].  The velocity block
+    K = M/dt + nu A is component-diagonal, so one scalar operator serves
+    all dim channels of the [n, dim] state."""
+    xb = _pad_source(m, x)
+    outs = []
+    for ct, vt in zip(m.cols, m.vals):
+        g = xb[ct]  # [rows_b, W, bs, C]
+        vals = vt[:, :, :, 0, :, 0]  # [rows_b, W, bs, bs]
+        # batched matmul: the value stream dominates; C pads into lanes
+        outs.append(jnp.einsum("nwab,nwbc->nac", vals, g))
+    return _unpermute(m, outs)
+
+
+def build_velocity_kbsr(
+    space, geom, tables, nu: float, dt: float, bs: int = 32,
+    dtype=jnp.float32, contraction: str = "vpu",
+) -> BSRMatrix:
+    """Assemble the CONSTANT velocity block K = M/dt + nu A once into the
+    supernode BSR form (scalar blocks; K is component-diagonal).
+
+    The reference assembles M and A once and reuses them across steps
+    (ref: src/NavierStokes2D.cpp:164, :387-390); with convection explicit
+    or IMEX-partitioned the whole remaining block is constant, so every
+    Krylov iteration becomes wide-row block gathers + one streamed value
+    array instead of the element gather+reduce pass."""
+    import scipy.sparse as sp
+
+    t = tables
+    n = space.n_unodes
+    nloc = t.MHAT.shape[0]
+    GKd = np.einsum("ekd,eld->ekl", geom.Jinv, geom.Jinv) * geom.detJ[
+        :, None, None
+    ]
+    K_e = (geom.detJ / dt)[:, None, None] * t.MHAT[None]
+    K_e = K_e + nu * np.einsum("ekl,klij->eij", GKd, t.AHAT)
+    cells = np.asarray(space.cells_u, dtype=np.int64)
+    rows = np.repeat(cells, nloc, axis=1).reshape(-1)
+    cols = np.tile(cells, (1, nloc)).reshape(-1)
+    csr = sp.csr_matrix((K_e.reshape(-1), (rows, cols)), shape=(n, n))
+    csr.sum_duplicates()
+    coo = csr.tocoo()
+    return build_bsr(
+        coo.row, coo.col, coo.data[:, None, None], n, n,
+        bs=bs, dtype=dtype, contraction=contraction,
+    )
 
 
 # ----------------------------------------------------------------------

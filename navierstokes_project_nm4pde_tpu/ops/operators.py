@@ -78,6 +78,13 @@ class NSOperator:
     dirichlet_mask: jax.Array  # [n_unodes] bool
     # Optional frozen SPAI values on the S~ pattern (see ops/spai.py)
     spai_vals: jax.Array | None = None
+    # Per-cell IMEX convection weight (TimeConfig.convection="imex"):
+    # 1.0 = this cell's convection stays linearised-implicit inside F,
+    # 0.0 = it moves to the explicit AB rhs.  None = fully implicit.
+    # Every C(w) contribution below is scaled by it; the explicit
+    # complement (1 - imex_scale) weights the rhs term N(w)
+    # (apply_rhs_and_r0 / apply_convection_self).
+    imex_scale: jax.Array | None = None
     # Optional windowed one-hot kernel plans (ops/onehot.py): when set,
     # *vmapped* (ensemble) velocity reductions run as Pallas MXU one-hot
     # contractions with the batch packed into lanes -- measured 2x over the
@@ -506,6 +513,7 @@ def apply_rhs_and_r0(
     op: NSOperator, h: jax.Array, p: jax.Array, nu, dt,
     conv: "ConvectionData | None", u0: jax.Array,
     h_e: jax.Array | None = None, u0_e: jax.Array | None = None,
+    w_e: jax.Array | None = None,
 ):
     """(b, r0) = (M h - G p,  b - F u0) in ONE element pass and ONE
     dual-channel reduction.
@@ -520,7 +528,11 @@ def apply_rhs_and_r0(
     `h_e`/`u0_e` accept pre-gathered element views of `h`/`u0`: the gather
     is row-rate bound too, so a caller that stacks several node-space
     vectors into one wide gather (models/base.py `_step_projection`) pays
-    for ONE gather instead of three."""
+    for ONE gather instead of three.
+
+    `w_e` (IMEX mode, op.imex_scale set): the element view of the
+    convection velocity w, used to fuse the explicit cells' rhs term
+    -(1 - imex_scale) N(w) into the same pass."""
     h_e = gather_u(op, h) if h_e is None else h_e
     u0_e = gather_u(op, u0) if u0_e is None else u0_e
     p_e = gather_p(op, p)
@@ -544,9 +556,23 @@ def apply_rhs_and_r0(
             u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u0_e)
             dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u0_e)
             r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+            if op.imex_scale is not None:
+                r = r * op.imex_scale[:, None, None]
             f_e = f_e + jnp.einsum(
                 "q,qi,eqc->eic", op.W, op.PHI_U, r
             ) * op.detJ[:, None, None]
+    if conv is not None and op.imex_scale is not None and w_e is not None:
+        # IMEX: the explicit cells' convection rhs N(w) = C(w) w, weighted
+        # by (1 - imex_scale) and FUSED into this pass (its own element
+        # pass would cost a second full gather + reduce).  conv.WG/divw
+        # are already the tables of C(w) at these quadrature points.
+        w_q = jnp.einsum("qi,eic->eqc", op.PHI_U, w_e)
+        nw = jnp.einsum("eqi,eic->eqc", conv.WG, w_e)
+        nw = nw + 0.5 * conv.divw[:, :, None] * w_q
+        nw = nw * (1.0 - op.imex_scale)[:, None, None]
+        b_e = b_e - jnp.einsum(
+            "q,qi,eqc->eic", op.W, op.PHI_U, nw
+        ) * op.detJ[:, None, None]
     y_e = jnp.concatenate([b_e, b_e - f_e], axis=-1)  # [E, nloc, 2*dim]
     y = scatter_u(op, y_e)
     d = h.shape[1]
@@ -648,12 +674,15 @@ def convection_setup(
     gref = jnp.einsum("qik,eic->eqkc", op.GRAD_U, w_e)
     divw = jnp.einsum("eqkc,ekc->eq", gref, op.Jinv)
     diagC = None
+    s = op.imex_scale  # IMEX: implicit-cell weight on every C(w) term
     if with_diag or backflow is not None:
         # diagonal: sum_q jxw * (WG_i * phi_i + 0.5 * divw * phi_i^2)
         d_e = jnp.einsum(
             "q,eqi,qi->ei", op.W, WG + 0.5 * divw[:, :, None] * op.PHI_U[None],
             op.PHI_U,
         ) * op.detJ[:, None]
+        if s is not None:
+            d_e = d_e * s[:, None]
         diagC = scatter_u_scalar(op, d_e)
 
     bf_coef = None
@@ -681,15 +710,16 @@ def convection_setup(
         else:
             F_e = F_e + nu * jnp.einsum("ekl,klij->eij", op.GKd, op.AHAT)
         R = WG + 0.5 * divw[:, :, None] * op.PHI_U[None]
+        cdet = op.detJ if s is None else op.detJ * s
         if op.contraction == "vpu":
             WPHI = op.W[:, None] * op.PHI_U  # [q, i]
             F_e = F_e + (
                 WPHI[None, :, :, None] * R[:, :, None, :]
-            ).sum(axis=1) * op.detJ[:, None, None]
+            ).sum(axis=1) * cdet[:, None, None]
         else:
             F_e = F_e + jnp.einsum(
                 "q,qi,eqj->eij", op.W, op.PHI_U, R
-            ) * op.detJ[:, None, None]
+            ) * cdet[:, None, None]
         if isinstance(nu, (int, float)) and isinstance(dt, (int, float)):
             fold_static = (float(nu), float(dt))
     return ConvectionData(
@@ -734,13 +764,89 @@ def apply_convection_self(
 
 
 def apply_convection(op: NSOperator, conv: ConvectionData, u: jax.Array) -> jax.Array:
-    """y = C(w) u = ((w.grad)u, v) + 0.5((div w) u, v)."""
+    """y = C(w) u = ((w.grad)u, v) + 0.5((div w) u, v) (implicit part
+    only under IMEX: scaled by op.imex_scale)."""
     u_e = gather_u(op, u)
     u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
     dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
     r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+    if op.imex_scale is not None:
+        r = r * op.imex_scale[:, None, None]
     y_e = jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
     return scatter_u(op, y_e)
+
+
+# ----------------------------------------------------------------------
+# IMEX fine subset: the implicit-convection cells' per-iteration pass
+# ----------------------------------------------------------------------
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ImexTables:
+    """Static tables of the IMEX fine (implicit-convection) cell subset.
+
+    With the constant K = M/dt + nu A applied as a supernode BSR operator
+    (ops/bsr.py), only this subset pays the per-Krylov-iteration element
+    pass: F u = K u + C_fine(w) u."""
+
+    f_idx: jax.Array  # [E_f] int32 cell ids (into the full cell axis)
+    cells_f: jax.Array  # [E_f, n_loc_u] int32
+    Jinv_f: jax.Array  # [E_f, dim, dim]
+    detJ_f: jax.Array  # [E_f]
+    plan_f: "object"  # GatherPlan: [E_f * n_loc_u] slots -> n_unodes rows
+
+
+def build_imex_tables(space, geom, implicit_cells, dtype) -> ImexTables:
+    """Tables for the implicit-convection subset (cell ids
+    `implicit_cells`)."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        build_gather_plan_grouped,
+    )
+
+    f = np.asarray(implicit_cells, dtype=np.int64)
+    cells_f = np.asarray(space.cells_u)[f]
+    plan_f = build_gather_plan_grouped(
+        cells_f.reshape(-1, 1), space.n_unodes,
+        thresholds=tuple(range(1, 97)), mode="columns",
+    )
+    return ImexTables(
+        f_idx=jnp.asarray(f, jnp.int32),
+        cells_f=jnp.asarray(cells_f, jnp.int32),
+        Jinv_f=jnp.asarray(geom.Jinv[f], dtype),
+        detJ_f=jnp.asarray(geom.detJ[f], dtype),
+        plan_f=plan_f,
+    )
+
+
+def convection_fine_fold(op: NSOperator, imex: ImexTables, w_ef: jax.Array):
+    """Per-element C_e(w) on the fine subset: [E_f, n_loc, n_loc]
+    (unweighted -- fine cells carry imex_scale 1).  `w_ef` is the element
+    view of w on the subset (slice the step's stacked gather)."""
+    w_q = jnp.einsum("qi,eic->eqc", op.PHI_U, w_ef)
+    wtilde = jnp.einsum("ekd,eqd->eqk", imex.Jinv_f, w_q)
+    WG = jnp.einsum("qik,eqk->eqi", op.GRAD_U, wtilde)
+    gref = jnp.einsum("qik,eic->eqkc", op.GRAD_U, w_ef)
+    divw = jnp.einsum("eqkc,ekc->eq", gref, imex.Jinv_f)
+    R = WG + 0.5 * divw[:, :, None] * op.PHI_U[None]
+    if op.contraction == "vpu":
+        WPHI = op.W[:, None] * op.PHI_U  # [q, i]
+        C = (WPHI[None, :, :, None] * R[:, :, None, :]).sum(axis=1)
+    else:
+        C = jnp.einsum("q,qi,eqj->eij", op.W, op.PHI_U, R)
+    return C * imex.detJ_f[:, None, None]
+
+
+def apply_convection_fine(
+    op: NSOperator, imex: ImexTables, C_ef: jax.Array, u: jax.Array
+) -> jax.Array:
+    """y = C_fine(w) u: subset gather + tiny contraction + subset reduce."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+    u_ef = u[imex.cells_f]
+    if op.contraction == "vpu":
+        y_ef = _emv(C_ef, u_ef)
+    else:
+        y_ef = jnp.einsum("eij,ejc->eic", C_ef, u_ef)
+    return apply_gather_plan(imex.plan_f, y_ef.reshape(-1, u.shape[1]))
 
 
 # ----------------------------------------------------------------------
@@ -781,6 +887,8 @@ def apply_F(
             u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
             dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
             r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+            if op.imex_scale is not None:
+                r = r * op.imex_scale[:, None, None]
             y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
     if lowp:
         y_e = y_e.astype(jnp.bfloat16)
@@ -850,6 +958,8 @@ def apply_system(op: NSOperator, nu, dt, conv, u, p, mask_rows: bool = True):
             u_q = jnp.einsum("qi,eic->eqc", op.PHI_U, u_e)
             dir_q = jnp.einsum("eqi,eic->eqc", conv.WG, u_e)
             r = dir_q + 0.5 * conv.divw[:, :, None] * u_q
+            if op.imex_scale is not None:
+                r = r * op.imex_scale[:, None, None]
             y_e = y_e + jnp.einsum("q,qi,eqc->eic", op.W, op.PHI_U, r) * op.detJ[:, None, None]
     # G part (momentum pressure gradient) fused into the same reduction
     y_e = y_e - jnp.einsum("ekc,kij,ei->ejc", op.Jinv, op.BHAT, p_e) * op.detJ[:, None, None]

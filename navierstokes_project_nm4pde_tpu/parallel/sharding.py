@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from navierstokes_project_nm4pde_tpu.ops.operators import NSOperator
 
 # Element-axis-sharded leaves of NSOperator; everything else is replicated.
-_CELL_FIELDS = ("cells_u", "cells_p", "detJ", "Jinv", "GKd")
+_CELL_FIELDS = ("cells_u", "cells_p", "detJ", "Jinv", "GKd", "imex_scale")
 
 
 def make_device_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -57,6 +57,10 @@ def _pad_cells(op: NSOperator, multiple: int) -> NSOperator:
         padding = jnp.repeat(x[:1] * (0 if zero else 1), rem, axis=0)
         return jnp.concatenate([x, padding], axis=0)
 
+    extra = {}
+    if op.imex_scale is not None:
+        # degenerate pad cells (detJ = 0) contribute nothing either way
+        extra["imex_scale"] = pad(op.imex_scale, False)
     return dataclasses.replace(
         op,
         cells_u=pad(op.cells_u, False),
@@ -64,6 +68,7 @@ def _pad_cells(op: NSOperator, multiple: int) -> NSOperator:
         detJ=pad(op.detJ, True),
         Jinv=pad(op.Jinv, False),
         GKd=pad(op.GKd, True),
+        **extra,
     )
 
 
@@ -129,6 +134,11 @@ def shard_solver(solver, mesh: Mesh):
         solver._proj_schur = repl_tree(solver._proj_schur)
     if getattr(solver, "_f_lam0", None) is not None:
         solver._f_lam0 = jax.device_put(solver._f_lam0, repl)
+    # The IMEX fine-subset tables and the constant-K BSR operator are
+    # node-space assembled (no cell axis): drop them so the sharded step
+    # falls back to the masked element fold (identical operator).
+    solver._imex = None
+    solver._kbsr = None
     solver._rebuild_device_data()
     return solver
 

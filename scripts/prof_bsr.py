@@ -53,14 +53,11 @@ def timeit(f, x0):
 
 
 def stats(name, m):
-    nbytes = m.vals.size * m.vals.dtype.itemsize
-    rows = m.cols.shape[0] * m.cols.shape[1]
-    pad_frac = float(np.mean(np.asarray(m.cols) == m.nb_src))
+    widths = [c.shape[1] for c in m.cols]
     print(
-        f"# {name}: blocks [{m.cols.shape[0]}, W={m.cols.shape[1]}] bs={m.bs} "
-        f"vals {nbytes / 1e6:.0f} MB, gathered rows {rows / 1e3:.0f}k "
-        f"({m.bs * (m.cin if m.cin > 1 else m.cout) * 4} B each), "
-        f"col pad {pad_frac:.0%}",
+        f"# {name}: bs={m.bs} buckets={len(m.cols)} (W {min(widths)}-"
+        f"{max(widths)}), vals {m.value_bytes / 1e6:.0f} MB, gathered rows "
+        f"{m.gathered_rows / 1e3:.0f}k",
         file=sys.stderr,
     )
 
@@ -129,6 +126,40 @@ def main():
               f"(einsum {t_d2:.2f})")
         print(f"gradient   BSR bs={bs:3d}   : {t_g:8.2f} ms "
               f"(einsum {t_g2:.2f})")
+
+    # Constant velocity block K = M/dt + nu A (explicit/IMEX modes).
+    if os.environ.get("NS_PROF_K", "1") == "1":
+        from navierstokes_project_nm4pde_tpu.ops.bsr import (
+            apply_bsr_scalar,
+            build_velocity_kbsr,
+        )
+        from navierstokes_project_nm4pde_tpu.ops.tables import (
+            build_ref_tables,
+        )
+
+        nu, dt = 1e-3, 2e-4
+        t_k_el = timeit(
+            lambda u: ops.apply_F(op, nu, dt, None, u), u0
+        )
+        print(f"K element pass (apply_F): {t_k_el:8.2f} ms")
+        tabs = build_ref_tables(space.dim)
+        k_ref = ops.apply_F(op, nu, dt, None, u0)
+        for bs in bss:
+            tb = time.time()
+            kbsr = build_velocity_kbsr(
+                space, geom, tabs, nu, dt, bs=bs, dtype=jnp.float32
+            )
+            jax.block_until_ready(kbsr.vals[0])
+            print(f"# K bs={bs} build {time.time() - tb:.1f}s",
+                  file=sys.stderr)
+            stats(f"K bs={bs}", kbsr)
+            errk = float(
+                jnp.linalg.norm(apply_bsr_scalar(kbsr, u0) - k_ref)
+                / jnp.linalg.norm(k_ref)
+            )
+            print(f"# rel diff K bs={bs}: {errk:.2e}", file=sys.stderr)
+            t_k = timeit(lambda u: apply_bsr_scalar(kbsr, u), u0)
+            print(f"K BSR bs={bs:3d}          : {t_k:8.2f} ms")
 
 
 if __name__ == "__main__":

@@ -97,6 +97,36 @@ def test_msh_roundtrip(tmp_path):
     assert set(np.unique(m2.bface_tag)) == {0, 1, 2, 3}
 
 
+def test_msh_binary_roundtrip(tmp_path):
+    """Binary v2.2 and v4.1 .msh round-trips (deal.II's read_msh accepts
+    binary gmsh files; ref: src/NavierStokes2D.cpp:10-14)."""
+    from navierstokes_project_nm4pde_tpu.mesh.msh_io import write_msh_v41
+
+    for m, name in [
+        (cube_mesh(2), "cube"),
+        (cylinder_channel_2d(lc=0.1), "cyl"),
+    ]:
+        for writer, ver in [(write_msh, "v2"), (write_msh_v41, "v41")]:
+            path = str(tmp_path / f"{name}_{ver}.msh")
+            writer(m, path, binary=True)
+            with open(path, "rb") as f:
+                head = f.read(40)
+            assert b" 1 8" in head  # really binary
+            m2 = read_msh(path)
+            np.testing.assert_allclose(m2.coords, m.coords)
+            assert m2.n_cells == m.n_cells
+            assert m2.n_bfaces == m.n_bfaces
+            assert set(np.unique(m2.bface_tag)) == set(
+                np.unique(m.bface_tag)
+            )
+            # same connectivity content (reader may renumber)
+            np.testing.assert_allclose(
+                np.sort(m2.cell_volumes()), np.sort(m.cell_volumes()),
+                rtol=1e-12,
+            )
+            m2.check_boundary_closed()
+
+
 def test_reorder_spatial_preserves_geometry():
     m = cylinder_channel_2d(lc=0.1)
     r = m.reorder_spatial()
