@@ -145,11 +145,12 @@ def build_bsr(
         widths.append(max(int(counts[rows_t].max()) if rows_t.size else 1, 1))
     slot_of_block = np.arange(len(uniq)) - starts[bI]  # w slot per block
 
+    # Column tables + ONE flat dense index per nnz component entry: all
+    # buckets share a single concatenated value array so the one-time
+    # device materialisation is ONE sorted scatter (a per-bucket scatter
+    # costs a compile each -- measured minutes of setup).
     col_tabs = []
-    val_tabs = []
-    # Per-entry flat index into its bucket's dense value array.
-    blk = inv  # block id per nnz entry
-    eI = bI[blk]
+    bucket_sizes = []
     for t in range(len(cuts) - 1):
         rows_t = row_order[cuts[t]:cuts[t + 1]]
         W = widths[t]
@@ -159,41 +160,53 @@ def build_bsr(
             sel_blocks
         ]
         col_tabs.append(jnp.asarray(ct, jnp.int32))
+        bucket_sizes.append(len(rows_t) * W * bs * Cout * bs * Cin)
+    offsets = np.concatenate([[0], np.cumsum(bucket_sizes)])
+    N_total = int(offsets[-1])
+    if N_total >= np.iinfo(np.int32).max:
+        raise ValueError(
+            f"BSR dense value array too large for int32 indexing "
+            f"({N_total}); reduce bs"
+        )
 
-        sel = bucket_of_row[eI] == t
-        base = (
-            (local_row[eI[sel]] * W + slot_of_block[blk[sel]]) * bs + a[sel]
-        ) * Cout
-        o_idx = np.arange(Cout, dtype=np.int64)
-        i_idx = np.arange(Cin, dtype=np.int64)
-        flat = (
-            (base[:, None, None] + o_idx[None, :, None]) * (bs * Cin)
-            + (b[sel][:, None, None] * Cin + i_idx[None, None, :])
-        ).reshape(-1)
-        v_flat = vals[sel].reshape(-1)
-        keep = v_flat != 0.0
-        flat, v_flat = flat[keep], v_flat[keep]
-        order = np.argsort(flat)
-        flat, v_flat = flat[order], v_flat[order]
-        N_total = len(rows_t) * W * bs * Cout * bs * Cin
-        if N_total >= np.iinfo(np.int32).max:
-            raise ValueError(
-                f"BSR bucket value array too large for int32 indexing "
-                f"({N_total}); reduce bs"
-            )
-        dense = (
-            jnp.zeros((max(N_total, 1),), dtype)
-            .at[jnp.asarray(flat, jnp.int32)]
-            .set(
-                jnp.asarray(v_flat, dtype),
-                unique_indices=True,
-                indices_are_sorted=True,
-            )
-            .reshape(max(len(rows_t), 1), W, bs, Cout, bs, Cin)[
+    blk = inv  # block id per nnz entry
+    t_of = bucket_of_row[bI[blk]]
+    W_of = np.asarray(widths)[t_of]
+    base = offsets[t_of] + (
+        ((local_row[bI[blk]] * W_of + slot_of_block[blk]) * bs + a) * Cout
+    ) * (bs * Cin)
+    o_idx = np.arange(Cout, dtype=np.int64)
+    i_idx = np.arange(Cin, dtype=np.int64)
+    flat = (
+        (base[:, None, None] + o_idx[None, :, None] * (bs * Cin))
+        + (b[:, None, None] * Cin + i_idx[None, None, :])
+    ).reshape(-1)
+    v_flat = vals.reshape(-1)
+    keep = v_flat != 0.0
+    flat, v_flat = flat[keep], v_flat[keep]
+    order = np.argsort(flat)
+    flat, v_flat = flat[order], v_flat[order]
+    dense = (
+        jnp.zeros((max(N_total, 1),), dtype)
+        .at[jnp.asarray(flat, jnp.int32)]
+        .set(
+            jnp.asarray(v_flat, dtype),
+            unique_indices=True,
+            indices_are_sorted=True,
+        )
+    )
+    val_tabs = []
+    for t in range(len(cuts) - 1):
+        rows_t = row_order[cuts[t]:cuts[t + 1]]
+        W = widths[t]
+        seg = jax.lax.slice_in_dim(
+            dense, int(offsets[t]), int(offsets[t + 1])
+        )
+        val_tabs.append(
+            seg.reshape(max(len(rows_t), 1), W, bs, Cout, bs, Cin)[
                 : len(rows_t)
             ]
         )
-        val_tabs.append(dense)
 
     return BSRMatrix(
         cols=tuple(col_tabs),
