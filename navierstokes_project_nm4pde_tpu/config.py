@@ -209,9 +209,11 @@ class NumericsConfig:
     # FGMRES machinery (reusing Krylov gathers for the divergence rhs no
     # longer pays when D itself is ~1-2 ms).
     div_apply: str = "auto"
-    # Supernode (block) size of the BSR operators.  32 nodes = 384 B
-    # gathered rows at dim=3 f32 (the measured full-rate width).
-    bsr_block: int = 32
+    # Supernode (block) size of the BSR operators.  128 nodes = one full
+    # 128-lane tile per gathered panel (512 B rows, no tile padding in
+    # the value arrays); smaller blocks pad the lane dim and only make
+    # sense off-TPU.
+    bsr_block: int = 128
     # Velocity-block application when the non-convective part is CONSTANT
     # (projection stepper with convection "explicit" or "imex", scheme
     # bdf1): "bsr" assembles K = M/dt + nu A once into the supernode BSR

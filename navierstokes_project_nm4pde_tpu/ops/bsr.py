@@ -3,10 +3,10 @@
 The gather rate on this backend is ROW-rate bound, not byte bound: ~10 ns
 per row for 12 B rows but ~43 GB/s once rows are ~384 B wide
 (PERFORMANCE.md, "Measured backend characteristics").  Grouping `bs`
-consecutive nodes into one supernode makes every gathered row a [bs, C]
-panel, so an assembled operator whose sparsity follows the supernode
-adjacency streams its source at the wide-row rate, while the dense
-[bs, bs] blocks are one fused multiply-reduce over a value array that
+consecutive nodes into one supernode makes every gathered row a [bs]
+panel (512 B at bs=128), so an assembled operator whose sparsity follows
+the supernode adjacency streams its source at the wide-row rate, while
+the dense blocks are one fused multiply-reduce over a value array that
 reads at plain HBM bandwidth.
 
 Used for the constant blocks of the time step -- the divergence D and the
@@ -18,12 +18,24 @@ host->device tunnel (the dense block values are materialised by a
 one-time on-device scatter -- transfer is the scarce resource at ~1M
 DoF, not one-time device work).
 
-Block rows are VALENCE-BUCKETED (same scheme as scatter.WeightedPlan):
-the neighbor count distribution is heavy-tailed (measured at 609k DoF,
-bs=32: D row blocks average 66 neighbor blocks but max 120; K averages
-32, max 120 -- a single padded width would store 2-4x the exact block
-count), so rows are grouped by neighbor-count class and each bucket gets
-a tight width.  Outputs are restored to natural order by one block-level
+TPU layout rules (learned the hard way: a [rows, W, bs, Cout, bs, Cin]
+value array with Cin=3 minor compiled to a 51 GB allocation -- the
+(8, 128) tile pads every trailing dim):
+  * value buckets are [rows, bs, Cout, Cin, W, bs]: only the LAST TWO
+    dims are tiled, so (W, bs) must be the tile -- W pads to a multiple
+    of 8, bs to a multiple of 128.  bs=128 is the sweet spot: exact lane
+    fit, 512 B gather rows, and few enough block rows that the whole
+    apply is 2-4 ops.
+  * the source is PLANAR per input channel, [Cin, nb+1, bs]: each
+    gathered row is one bs-wide panel, never a 3-wide minor dim.
+
+Block rows are VALENCE-BUCKETED: the neighbor-count distribution is
+heavy-tailed (measured at 609k DoF, bs=32: D row blocks average 66
+neighbor blocks but max 120), so a single padded width stores 2-4x the
+exact block count.  But every bucket costs fixed op overhead (~0.4 ms
+per device op on this backend), so the cut points are chosen by a small
+DP that minimises padded-entries + per-bucket penalty, capped at
+`max_buckets`.  Outputs are restored to natural order by one block-level
 gather.
 """
 
@@ -42,7 +54,7 @@ class BSRMatrix:
     """Bucketed block-ELL operator [n_rows x n_src], Cout x Cin component
     blocks:
 
-    y[R*bs + a, o] = sum_{w, b, i} vals[R, w, a, o, b, i]
+    y[R*bs + a, o] = sum_{w, b, i} vals[R, a, o, i, w, b]
                                    * x[cols[R, w]*bs + b, i]
 
     with R running over permuted block rows (buckets concatenated;
@@ -50,7 +62,7 @@ class BSRMatrix:
     `nb_src` (a zero source block appended at apply time)."""
 
     cols: tuple  # per bucket [rows_b, W_b] int32 source-block ids
-    vals: tuple  # per bucket [rows_b, W_b, bs, Cout, bs, Cin]
+    vals: tuple  # per bucket [rows_b, bs, Cout, Cin, W_b, bs]
     row_unperm: jax.Array  # [NB] int32 block-row inverse permutation
     nb_src: int = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -64,11 +76,11 @@ class BSRMatrix:
 
     @property
     def cout(self) -> int:
-        return self.vals[0].shape[3]
+        return self.vals[0].shape[2]
 
     @property
     def cin(self) -> int:
-        return self.vals[0].shape[5]
+        return self.vals[0].shape[3]
 
     @property
     def value_bytes(self) -> int:
@@ -79,24 +91,68 @@ class BSRMatrix:
         return sum(c.shape[0] * c.shape[1] for c in self.cols)
 
 
+def _bucket_cuts(
+    cnt_sorted: np.ndarray, max_buckets: int, penalty: int
+) -> list:
+    """Cut points into the count-sorted block rows minimising
+    sum_t rows_t * W_t + penalty * n_buckets (entries units), by DP over
+    the distinct-count boundaries (<= ~max valence of them, so tiny)."""
+    NB = len(cnt_sorted)
+    bounds = [0]
+    for i in range(1, NB):
+        if cnt_sorted[i] != cnt_sorted[i - 1]:
+            bounds.append(i)
+    bounds.append(NB)
+    m = len(bounds) - 1
+    K = min(max_buckets, m)
+    INF = float("inf")
+    # dp[j] after k buckets covering bounds[:j+1]
+    dp = [INF] * (m + 1)
+    dp[0] = 0.0
+    back = [[-1] * (m + 1) for _ in range(K + 1)]
+    best = (INF, 1, None)
+    for k in range(1, K + 1):
+        ndp = [INF] * (m + 1)
+        for j in range(1, m + 1):
+            w = int(cnt_sorted[bounds[j] - 1])
+            for i in range(0, j):
+                if dp[i] == INF:
+                    continue
+                c = dp[i] + (bounds[j] - bounds[i]) * w
+                if c < ndp[j]:
+                    ndp[j] = c
+                    back[k][j] = i
+        if ndp[m] + k * penalty < best[0]:
+            best = (ndp[m] + k * penalty, k, [r[:] for r in back])
+        dp = ndp
+    _, k_best, back = best
+    cuts = [m]
+    k = k_best
+    while cuts[-1] > 0:
+        cuts.append(back[k][cuts[-1]])
+        k -= 1
+    return [bounds[j] for j in reversed(cuts)]
+
+
 def build_bsr(
     rows: np.ndarray,
     cols: np.ndarray,
     vals: np.ndarray,
     n_rows: int,
     n_src: int,
-    bs: int = 32,
+    bs: int = 128,
     dtype=jnp.float32,
     contraction: str = "vpu",
-    min_rows: int = 256,
+    max_buckets: int = 4,
+    bucket_penalty: int = 100_000_000,
 ) -> BSRMatrix:
     """Build a BSRMatrix from COO triples (duplicate (row, col) pairs must
     already be merged).  `vals` is [nnz, Cout, Cin] ([nnz] => 1x1 blocks).
 
     Host side computes the block pattern, the valence buckets, and flat
     scatter indices; the dense value arrays are materialised on device
-    (sorted unique scatter, one-time).  `min_rows` controls bucket
-    granularity exactly like scatter.build_weighted_plan."""
+    by ONE sorted unique scatter (a per-bucket scatter costs a compile
+    each -- measured minutes of setup)."""
     rows = np.asarray(rows, dtype=np.int64).reshape(-1)
     cols = np.asarray(cols, dtype=np.int64).reshape(-1)
     vals = np.asarray(vals)
@@ -119,20 +175,12 @@ def build_bsr(
     counts = np.bincount(bI, minlength=NB)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-    # Valence buckets over block rows (cut at count changes once the
-    # current bucket holds >= min_rows rows).
+    # Valence buckets over block rows: DP cut points (see module doc).
     row_order = np.argsort(counts, kind="stable")
     unperm = np.empty(NB, dtype=np.int64)
     unperm[row_order] = np.arange(NB)
     cnt_sorted = counts[row_order]
-    cuts = [0]
-    run = 0
-    for i in range(1, NB):
-        run += 1
-        if cnt_sorted[i] != cnt_sorted[i - 1] and run >= min_rows:
-            cuts.append(i)
-            run = 0
-    cuts.append(NB)
+    cuts = _bucket_cuts(cnt_sorted, max_buckets, bucket_penalty // (bs * bs))
 
     # Per block: its bucket, its (local) row within the bucket, its slot.
     bucket_of_row = np.empty(NB, dtype=np.int64)
@@ -147,8 +195,7 @@ def build_bsr(
 
     # Column tables + ONE flat dense index per nnz component entry: all
     # buckets share a single concatenated value array so the one-time
-    # device materialisation is ONE sorted scatter (a per-bucket scatter
-    # costs a compile each -- measured minutes of setup).
+    # device materialisation is ONE sorted scatter.
     col_tabs = []
     bucket_sizes = []
     for t in range(len(cuts) - 1):
@@ -160,7 +207,7 @@ def build_bsr(
             sel_blocks
         ]
         col_tabs.append(jnp.asarray(ct, jnp.int32))
-        bucket_sizes.append(len(rows_t) * W * bs * Cout * bs * Cin)
+        bucket_sizes.append(len(rows_t) * bs * Cout * Cin * W * bs)
     offsets = np.concatenate([[0], np.cumsum(bucket_sizes)])
     N_total = int(offsets[-1])
     if N_total >= np.iinfo(np.int32).max:
@@ -169,18 +216,22 @@ def build_bsr(
             f"({N_total}); reduce bs"
         )
 
+    # Flat index of entry (lr, a, o, i, w, b) inside bucket t's
+    # [rows_t, bs, Cout, Cin, W_t, bs] value array.
     blk = inv  # block id per nnz entry
     t_of = bucket_of_row[bI[blk]]
     W_of = np.asarray(widths)[t_of]
+    slot = slot_of_block[blk]
+    lr = local_row[bI[blk]]
     base = offsets[t_of] + (
-        ((local_row[bI[blk]] * W_of + slot_of_block[blk]) * bs + a) * Cout
-    ) * (bs * Cin)
+        ((lr * bs + a) * Cout) * Cin * W_of * bs
+        + (slot * bs + b)
+    )
     o_idx = np.arange(Cout, dtype=np.int64)
     i_idx = np.arange(Cin, dtype=np.int64)
-    flat = (
-        (base[:, None, None] + o_idx[None, :, None] * (bs * Cin))
-        + (b[:, None, None] * Cin + i_idx[None, None, :])
-    ).reshape(-1)
+    step_o = (Cin * W_of * bs)[:, None, None] * o_idx[None, :, None]
+    step_i = (W_of * bs)[:, None, None] * i_idx[None, None, :]
+    flat = (base[:, None, None] + step_o + step_i).reshape(-1)
     v_flat = vals.reshape(-1)
     keep = v_flat != 0.0
     flat, v_flat = flat[keep], v_flat[keep]
@@ -197,15 +248,13 @@ def build_bsr(
     )
     val_tabs = []
     for t in range(len(cuts) - 1):
-        rows_t = row_order[cuts[t]:cuts[t + 1]]
+        rows_t = cuts[t + 1] - cuts[t]
         W = widths[t]
         seg = jax.lax.slice_in_dim(
             dense, int(offsets[t]), int(offsets[t + 1])
         )
         val_tabs.append(
-            seg.reshape(max(len(rows_t), 1), W, bs, Cout, bs, Cin)[
-                : len(rows_t)
-            ]
+            seg.reshape(max(rows_t, 1), bs, Cout, Cin, W, bs)[:rows_t]
         )
 
     return BSRMatrix(
@@ -221,50 +270,57 @@ def build_bsr(
 
 
 def _pad_source(m: BSRMatrix, x: jax.Array) -> jax.Array:
-    """[n_src, C] -> [nb_src + 1, bs, C] with a trailing zero pad block."""
+    """[n_src, C] -> [C, nb_src + 1, bs] planar blocks with a trailing
+    zero pad block (bs-wide gather rows, no tiny minor dim)."""
     C = x.shape[1]
     pad = m.nb_src * m.bs - m.n_src
     xp = jnp.concatenate([x, jnp.zeros((pad + m.bs, C), x.dtype)], axis=0)
-    return xp.reshape(m.nb_src + 1, m.bs, C)
+    return xp.reshape(m.nb_src + 1, m.bs, C).transpose(2, 0, 1)
 
 
-def _unpermute(m: BSRMatrix, outs: list) -> jax.Array:
+def _unpermute(m: BSRMatrix, outs: list, cout: int) -> jax.Array:
     y = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    y = y[m.row_unperm]  # block-level gather (wide rows, cheap)
-    return y.reshape(-1, y.shape[-1])[: m.n_rows]
+    y = y[m.row_unperm]  # [NB, bs, Cout] block-level gather (wide rows)
+    return y.reshape(-1, cout)[: m.n_rows]
 
 
 def apply_bsr(m: BSRMatrix, x: jax.Array) -> jax.Array:
     """y = A x: [n_src, Cin] -> [n_rows, Cout]."""
-    xb = _pad_source(m, x)
+    xb = _pad_source(m, x)  # [Cin, nb+1, bs]
     outs = []
     for ct, vt in zip(m.cols, m.vals):
-        g = xb[ct]  # [rows_b, W, bs, Cin] -- wide-row gather
+        g = xb[:, ct]  # [Cin, rows_b, W, bs] -- bs-wide row gather
         if m.contraction == "vpu":
-            y = (vt * g[:, :, None, None, :, :]).sum(axis=(1, 4, 5))
+            gt = g.transpose(1, 0, 2, 3)  # fused into the reduce
+            y = (vt * gt[:, None, None, :, :, :]).sum(axis=(3, 4, 5))
         else:
-            y = jnp.einsum("nwaobi,nwbi->nao", vt, g)
+            y = jnp.einsum("naoiwb,inwb->nao", vt, g)
         outs.append(y)
-    return _unpermute(m, outs)
+    return _unpermute(m, outs, m.cout)
 
 
 def apply_bsr_scalar(m: BSRMatrix, x: jax.Array) -> jax.Array:
     """y = (A x_c) per channel c for a scalar-block BSRMatrix (1x1
     component blocks): [n_src, C] -> [n_rows, C].  The velocity block
     K = M/dt + nu A is component-diagonal, so one scalar operator serves
-    all dim channels of the [n, dim] state."""
-    xb = _pad_source(m, x)
+    all dim channels of the [n, dim] state; the channel axis rides as a
+    free batch dim of the contraction (the value stream is read once)."""
+    xb = _pad_source(m, x)  # [C, nb+1, bs]
     outs = []
     for ct, vt in zip(m.cols, m.vals):
-        g = xb[ct]  # [rows_b, W, bs, C]
-        vals = vt[:, :, :, 0, :, 0]  # [rows_b, W, bs, bs]
-        # batched matmul: the value stream dominates; C pads into lanes
-        outs.append(jnp.einsum("nwab,nwbc->nac", vals, g))
-    return _unpermute(m, outs)
+        g = xb[:, ct]  # [C, rows_b, W, bs]
+        vk = vt[:, :, 0, 0]  # [rows_b, bs, W, bs]
+        if m.contraction == "vpu":
+            gt = g.transpose(1, 0, 2, 3)
+            y = (vk[:, :, None] * gt[:, None, :, :, :]).sum(axis=(3, 4))
+        else:
+            y = jnp.einsum("nawb,cnwb->nac", vk, g)
+        outs.append(y)
+    return _unpermute(m, outs, x.shape[1])
 
 
 def build_velocity_kbsr(
-    space, geom, tables, nu: float, dt: float, bs: int = 32,
+    space, geom, tables, nu: float, dt: float, bs: int = 128,
     dtype=jnp.float32, contraction: str = "vpu",
 ) -> BSRMatrix:
     """Assemble the CONSTANT velocity block K = M/dt + nu A once into the
@@ -313,7 +369,7 @@ def _divergence_coo(schur_host: dict):
 
 
 def build_divergence_bsr(
-    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 32,
+    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 128,
     dtype=jnp.float32, contraction: str = "vpu",
 ) -> BSRMatrix:
     """D as a BSR operator: u [n_unodes, dim] -> D u [n_pnodes]
@@ -326,7 +382,7 @@ def build_divergence_bsr(
 
 
 def build_gradient_bsr(
-    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 32,
+    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 128,
     dtype=jnp.float32, contraction: str = "vpu",
 ) -> BSRMatrix:
     """G = -D^T as a BSR operator: p [n_pnodes, 1] -> G p [n_unodes, dim]

@@ -2,7 +2,8 @@
 round-3 forms (element pass, assembled-ELL gradient) at bench scale.
 
 Usage: python scripts/prof_bsr.py [lc] [nz] [bs ...]   (default 965k mesh,
-block sizes 16 32 64)
+block sizes 128 256 -- bs must be a lane multiple on TPU or the value
+arrays tile-pad)
 """
 from __future__ import annotations
 
@@ -65,7 +66,7 @@ def stats(name, m):
 def main():
     lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.024
     nz = int(sys.argv[2]) if len(sys.argv) > 2 else 14
-    bss = [int(a) for a in sys.argv[3:]] or [16, 32, 64]
+    bss = [int(a) for a in sys.argv[3:]] or [128, 256]
     t0 = time.time()
     mesh = cylinder_duct_3d(lc=lc, nz=nz).reorder_spatial("rcm")
     space = build_taylor_hood(mesh)
@@ -159,7 +160,10 @@ def main():
             )
             print(f"# rel diff K bs={bs}: {errk:.2e}", file=sys.stderr)
             t_k = timeit(lambda u: apply_bsr_scalar(kbsr, u), u0)
-            print(f"K BSR bs={bs:3d}          : {t_k:8.2f} ms")
+            k2 = dataclasses.replace(kbsr, contraction="einsum")
+            t_k2 = timeit(lambda u: apply_bsr_scalar(k2, u), u0)
+            print(f"K BSR bs={bs:3d}          : {t_k:8.2f} ms "
+                  f"(einsum {t_k2:.2f})")
 
 
 if __name__ == "__main__":
