@@ -18,16 +18,22 @@ host->device tunnel (the dense block values are materialised by a
 one-time on-device scatter -- transfer is the scarce resource at ~1M
 DoF, not one-time device work).
 
-TPU layout rules (learned the hard way: a [rows, W, bs, Cout, bs, Cin]
-value array with Cin=3 minor compiled to a 51 GB allocation -- the
-(8, 128) tile pads every trailing dim):
-  * value buckets are [rows, bs, Cout, Cin, W, bs]: only the LAST TWO
-    dims are tiled, so (W, bs) must be the tile -- W pads to a multiple
-    of 8, bs to a multiple of 128.  bs=128 is the sweet spot: exact lane
-    fit, 512 B gather rows, and few enough block rows that the whole
-    apply is 2-4 ops.
-  * the source is PLANAR per input channel, [Cin, nb+1, bs]: each
-    gathered row is one bs-wide panel, never a 3-wide minor dim.
+TPU layout rules (learned the hard way, twice):
+  * a [rows, W, bs, Cout, bs, Cin] value array with Cin=3 minor compiled
+    to a 51 GB allocation -- the (8, 128) tile pads every trailing dim;
+  * [rows, bs, Cout, Cin, W, bs] tiles cleanly at bs=128 but the dense
+    128x128 blocks of the RECTANGULAR D/G are ~6% full (measured 4 GB
+    per operator at 965k DoF -- the P2 edge-node numbering scatters a
+    p-block's column set over 56-85 velocity blocks).
+  So the whole contraction axis is FOLDED into the lane dim: value
+  buckets are [rows, Cout, bs, Cin*W*bs] (second-minor bs is a multiple
+  of 8, minor is thousands of lanes -- no tile padding at ANY bs >= 8),
+  and the apply is one batched matvec per bucket.  Small bs keeps the
+  blocks dense (bs=32 stores ~exactly the block-pattern nnz); the
+  gathered source stays wide because the GATHER granularity is still a
+  [bs] panel: the source is PLANAR per input channel, [Cin, nb+1, bs],
+  reshaped+transposed to [rows, Cin*W*bs] after the gather (a ~30 MB
+  transient repack, not a value-array bloat).
 
 Block rows are VALENCE-BUCKETED: the neighbor-count distribution is
 heavy-tailed (measured at 609k DoF, bs=32: D row blocks average 66
@@ -54,7 +60,7 @@ class BSRMatrix:
     """Bucketed block-ELL operator [n_rows x n_src], Cout x Cin component
     blocks:
 
-    y[R*bs + a, o] = sum_{w, b, i} vals[R, a, o, i, w, b]
+    y[R*bs + a, o] = sum_{i, w, b} vals[R, o, a, (i*W + w)*bs + b]
                                    * x[cols[R, w]*bs + b, i]
 
     with R running over permuted block rows (buckets concatenated;
@@ -62,12 +68,13 @@ class BSRMatrix:
     `nb_src` (a zero source block appended at apply time)."""
 
     cols: tuple  # per bucket [rows_b, W_b] int32 source-block ids
-    vals: tuple  # per bucket [rows_b, bs, Cout, Cin, W_b, bs]
+    vals: tuple  # per bucket [rows_b, Cout, bs, Cin*W_b*bs]
     row_unperm: jax.Array  # [NB] int32 block-row inverse permutation
     nb_src: int = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_src: int = dataclasses.field(metadata=dict(static=True))
     bs: int = dataclasses.field(metadata=dict(static=True))
+    cin: int = dataclasses.field(default=1, metadata=dict(static=True))
     # "vpu": broadcast multiply + sum (exact f32, no MXU pass -- the
     # engine-wide element_contraction finding); "einsum": MXU lowering.
     contraction: str = dataclasses.field(
@@ -76,11 +83,7 @@ class BSRMatrix:
 
     @property
     def cout(self) -> int:
-        return self.vals[0].shape[2]
-
-    @property
-    def cin(self) -> int:
-        return self.vals[0].shape[3]
+        return self.vals[0].shape[1]
 
     @property
     def value_bytes(self) -> int:
@@ -140,7 +143,7 @@ def build_bsr(
     vals: np.ndarray,
     n_rows: int,
     n_src: int,
-    bs: int = 128,
+    bs: int = 32,
     dtype=jnp.float32,
     contraction: str = "vpu",
     max_buckets: int = 4,
@@ -216,20 +219,20 @@ def build_bsr(
             f"({N_total}); reduce bs"
         )
 
-    # Flat index of entry (lr, a, o, i, w, b) inside bucket t's
-    # [rows_t, bs, Cout, Cin, W_t, bs] value array.
+    # Flat index of entry (lr, o, a, i, w, b) inside bucket t's
+    # [rows_t, Cout, bs, Cin*W_t*bs] value array.
     blk = inv  # block id per nnz entry
     t_of = bucket_of_row[bI[blk]]
     W_of = np.asarray(widths)[t_of]
     slot = slot_of_block[blk]
     lr = local_row[bI[blk]]
-    base = offsets[t_of] + (
-        ((lr * bs + a) * Cout) * Cin * W_of * bs
-        + (slot * bs + b)
+    lane = Cin * W_of * bs
+    base = offsets[t_of] + (lr * Cout) * bs * lane + a * lane + (
+        slot * bs + b
     )
     o_idx = np.arange(Cout, dtype=np.int64)
     i_idx = np.arange(Cin, dtype=np.int64)
-    step_o = (Cin * W_of * bs)[:, None, None] * o_idx[None, :, None]
+    step_o = (bs * lane)[:, None, None] * o_idx[None, :, None]
     step_i = (W_of * bs)[:, None, None] * i_idx[None, None, :]
     flat = (base[:, None, None] + step_o + step_i).reshape(-1)
     v_flat = vals.reshape(-1)
@@ -254,7 +257,7 @@ def build_bsr(
             dense, int(offsets[t]), int(offsets[t + 1])
         )
         val_tabs.append(
-            seg.reshape(max(rows_t, 1), bs, Cout, Cin, W, bs)[:rows_t]
+            seg.reshape(max(rows_t, 1), Cout, bs, Cin * W * bs)[:rows_t]
         )
 
     return BSRMatrix(
@@ -265,6 +268,7 @@ def build_bsr(
         n_rows=n_rows,
         n_src=n_src,
         bs=bs,
+        cin=Cin,
         contraction=contraction,
     )
 
@@ -290,12 +294,12 @@ def apply_bsr(m: BSRMatrix, x: jax.Array) -> jax.Array:
     outs = []
     for ct, vt in zip(m.cols, m.vals):
         g = xb[:, ct]  # [Cin, rows_b, W, bs] -- bs-wide row gather
+        g2 = g.transpose(1, 0, 2, 3).reshape(ct.shape[0], -1)
         if m.contraction == "vpu":
-            gt = g.transpose(1, 0, 2, 3)  # fused into the reduce
-            y = (vt * gt[:, None, None, :, :, :]).sum(axis=(3, 4, 5))
+            y = (vt * g2[:, None, None, :]).sum(axis=-1)  # [n, Cout, bs]
         else:
-            y = jnp.einsum("naoiwb,inwb->nao", vt, g)
-        outs.append(y)
+            y = jnp.einsum("noal,nl->noa", vt, g2)
+        outs.append(y.transpose(0, 2, 1))  # [n, bs, Cout]
     return _unpermute(m, outs, m.cout)
 
 
@@ -306,21 +310,22 @@ def apply_bsr_scalar(m: BSRMatrix, x: jax.Array) -> jax.Array:
     all dim channels of the [n, dim] state; the channel axis rides as a
     free batch dim of the contraction (the value stream is read once)."""
     xb = _pad_source(m, x)  # [C, nb+1, bs]
+    C = x.shape[1]
     outs = []
     for ct, vt in zip(m.cols, m.vals):
-        g = xb[:, ct]  # [C, rows_b, W, bs]
-        vk = vt[:, :, 0, 0]  # [rows_b, bs, W, bs]
+        g = xb[:, ct].reshape(C, ct.shape[0], -1)  # [C, rows_b, W*bs]
+        vk = vt[:, 0]  # [rows_b, bs, W*bs]
         if m.contraction == "vpu":
-            gt = g.transpose(1, 0, 2, 3)
-            y = (vk[:, :, None] * gt[:, None, :, :, :]).sum(axis=(3, 4))
+            y = (vk[None] * g[:, :, None, :]).sum(axis=-1)  # [C, n, bs]
+            y = y.transpose(1, 2, 0)
         else:
-            y = jnp.einsum("nawb,cnwb->nac", vk, g)
-        outs.append(y)
-    return _unpermute(m, outs, x.shape[1])
+            y = jnp.einsum("nal,cnl->nac", vk, g)
+        outs.append(y)  # [n, bs, C]
+    return _unpermute(m, outs, C)
 
 
 def build_velocity_kbsr(
-    space, geom, tables, nu: float, dt: float, bs: int = 128,
+    space, geom, tables, nu: float, dt: float, bs: int = 32,
     dtype=jnp.float32, contraction: str = "vpu",
 ) -> BSRMatrix:
     """Assemble the CONSTANT velocity block K = M/dt + nu A once into the
@@ -369,7 +374,7 @@ def _divergence_coo(schur_host: dict):
 
 
 def build_divergence_bsr(
-    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 128,
+    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 32,
     dtype=jnp.float32, contraction: str = "vpu",
 ) -> BSRMatrix:
     """D as a BSR operator: u [n_unodes, dim] -> D u [n_pnodes]
@@ -382,7 +387,7 @@ def build_divergence_bsr(
 
 
 def build_gradient_bsr(
-    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 128,
+    schur_host: dict, n_unodes: int, n_pnodes: int, bs: int = 32,
     dtype=jnp.float32, contraction: str = "vpu",
 ) -> BSRMatrix:
     """G = -D^T as a BSR operator: p [n_pnodes, 1] -> G p [n_unodes, dim]

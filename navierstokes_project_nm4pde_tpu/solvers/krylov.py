@@ -30,26 +30,33 @@ import jax
 import jax.numpy as jnp
 
 
-def _matvec_dots(V, w, precise: bool):
+def _psum(v, axis_name):
+    """Cross-device sum when running inside shard_map (the owned+halo
+    path, parallel/halo_step.py): every vector is a device-local block,
+    so Krylov reductions must all-reduce.  No-op (None) outside."""
+    return v if axis_name is None else jax.lax.psum(v, axis_name)
+
+
+def _matvec_dots(V, w, precise: bool, axis_name=None):
     """Row-wise dot products V @ w as one matmul (optionally f64-accumulated)."""
     if precise:
-        return (V.astype(jnp.float64) @ w.astype(jnp.float64)).astype(w.dtype)
-    return V @ w
+        h = V.astype(jnp.float64) @ w.astype(jnp.float64)
+        return _psum(h, axis_name).astype(w.dtype)
+    return _psum(V @ w, axis_name)
 
 
-def _dot(x, y, precise: bool):
+def _dot(x, y, precise: bool, axis_name=None):
     if precise:
-        return jnp.sum(x.astype(jnp.float64) * y.astype(jnp.float64)).astype(
-            x.dtype
-        )
-    return jnp.sum(x * y)
+        s = jnp.sum(x.astype(jnp.float64) * y.astype(jnp.float64))
+        return _psum(s, axis_name).astype(x.dtype)
+    return _psum(jnp.sum(x * y), axis_name)
 
 
-def _norm(x, precise: bool):
-    return jnp.sqrt(_dot(x, x, precise))
+def _norm(x, precise: bool, axis_name=None):
+    return jnp.sqrt(_dot(x, x, precise, axis_name))
 
 
-def _dot2(x, y, precise: bool):
+def _dot2(x, y, precise: bool, axis_name=None):
     """(x.y, y.y) in ONE fused device reduction.
 
     Stacking the two dot products into a [2, n] @ [n] matvec halves the
@@ -58,9 +65,9 @@ def _dot2(x, y, precise: bool):
     point every iteration."""
     if precise:
         xs = jnp.stack([x, y]).astype(jnp.float64) @ y.astype(jnp.float64)
-        xs = xs.astype(x.dtype)
+        xs = _psum(xs, axis_name).astype(x.dtype)
     else:
-        xs = jnp.stack([x, y]) @ y
+        xs = _psum(jnp.stack([x, y]) @ y, axis_name)
     return xs[0], xs[1]
 
 
@@ -85,6 +92,7 @@ def fgmres(
     precise: bool = True,
     tol_mode: str = "r0",
     aux: bool = False,
+    axis_name: str | None = None,
 ):
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -130,11 +138,11 @@ def fgmres(
         w0, aux_init = A_full(x0)
         r_init = b - w0
 
-    r0_norm = _norm(r_init, precise)
+    r0_norm = _norm(r_init, precise, axis_name)
     if tol_mode == "r0":
         ref_norm = r0_norm
     elif tol_mode == "b":
-        ref_norm = _norm(b, precise)
+        ref_norm = _norm(b, precise, axis_name)
     else:
         ref_norm = jnp.asarray(1.0, dtype)
     tol = jnp.maximum(rtol * ref_norm, atol).astype(dtype)
@@ -148,7 +156,7 @@ def fgmres(
         exact arithmetic: r_new = g[j] * V^T Q^T e_j) instead of an extra
         operator apply -- restarts are rare in warm-started solves and the
         stopping value |g[j]| is unchanged."""
-        beta = _norm(r, precise)
+        beta = _norm(r, precise, axis_name)
 
         V = jnp.zeros((m + 1, n), dtype)
         Z = jnp.zeros((m, n), dtype)
@@ -174,12 +182,12 @@ def fgmres(
             # loop -- hundreds of tiny dot/axpy ops collapse into 4 large ones
             # (TPU ops have a fixed launch cost).  Rows > j of V are exactly
             # zero (fresh basis each cycle), so no masking is needed.
-            hcol1 = _matvec_dots(V, w, precise)
+            hcol1 = _matvec_dots(V, w, precise, axis_name)
             w = w - V.T @ hcol1
-            hcol2 = _matvec_dots(V, w, precise)
+            hcol2 = _matvec_dots(V, w, precise, axis_name)
             w = w - V.T @ hcol2
             hcol = hcol1 + hcol2
-            hlast = _norm(w, precise)
+            hlast = _norm(w, precise, axis_name)
             hcol = hcol.at[j + 1].set(hlast)
             V = V.at[j + 1].set(jnp.where(hlast > 0, w / hlast, w))
             Z = Z.at[j].set(z)
@@ -269,6 +277,7 @@ def cg(
     atol: float = 0.0,
     maxiter: int = 1000,
     precise: bool = True,
+    axis_name: str | None = None,
 ):
     """Preconditioned conjugate gradients with relative tolerance.
 
@@ -285,9 +294,9 @@ def cg(
         r = b - A(x0)
     z = M(r)
     p = z
-    rz, rr = _dot2(z, r, precise)
+    rz, rr = _dot2(z, r, precise, axis_name)
     res = jnp.sqrt(rr)
-    b_norm = _norm(b, precise)
+    b_norm = _norm(b, precise, axis_name)
     tol = jnp.maximum(rtol * b_norm, atol)
 
     def cond(carry):
@@ -297,11 +306,11 @@ def cg(
     def body(carry):
         x, r, p, rz, res, k = carry
         Ap = A(p)
-        alpha = rz / _dot(p, Ap, precise)
+        alpha = rz / _dot(p, Ap, precise, axis_name)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new, rr = _dot2(z, r, precise)
+        rz_new, rr = _dot2(z, r, precise, axis_name)
         beta = rz_new / rz
         p = z + beta * p
         return x, r, p, rz_new, jnp.sqrt(rr), k + 1
