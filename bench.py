@@ -178,7 +178,11 @@ def measure():
             # "element" keep the round-3 forms for A/B.
             grad_apply=os.environ.get("NS_BENCH_GRAD", "auto"),
             div_apply=os.environ.get("NS_BENCH_DIV", "auto"),
+            # Measured sweet spots at 965k (scripts/prof_bsr.py): D/K 32
+            # (4.08 / 8.94 ms), G 16 (3.52 ms) vs 25.9 / 38.0 / 20.4 ms
+            # for the round-3 element/ELL forms.
             bsr_block=int(os.environ.get("NS_BENCH_BSR_BLOCK", "32")),
+            bsr_block_grad=int(os.environ.get("NS_BENCH_BSR_GRAD", "16")),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
             # "auto" = block-banded dense SpMV when the RCM band fits
             # (frozen Schur only); "ell" forces the bucketed ELL form.

@@ -209,11 +209,17 @@ class NumericsConfig:
     # FGMRES machinery (reusing Krylov gathers for the divergence rhs no
     # longer pays when D itself is ~1-2 ms).
     div_apply: str = "auto"
-    # Supernode (block) size of the BSR operators.  128 nodes = one full
-    # 128-lane tile per gathered panel (512 B rows, no tile padding in
-    # the value arrays); smaller blocks pad the lane dim and only make
-    # sense off-TPU.
-    bsr_block: int = 128
+    # Supernode (block) size of the BSR operators.  Any multiple of 8
+    # tiles exactly (the value arrays fold the whole contraction axis
+    # into the lane dim; ops/bsr.py).  Larger blocks cut gathered ROWS
+    # but lose block fill (dense-slot waste grows with bs on the
+    # rectangular D/G); measured sweet spots at 965k DoF: D/K 32, G 16
+    # (scripts/prof_bsr.py).  The per-operator overrides default to
+    # `bsr_block` when None.
+    bsr_block: int = 32
+    bsr_block_div: Optional[int] = None
+    bsr_block_grad: Optional[int] = 16
+    bsr_block_vel: Optional[int] = None
     # Velocity-block application when the non-convective part is CONSTANT
     # (projection stepper with convection "explicit" or "imex", scheme
     # bdf1): "bsr" assembles K = M/dt + nu A once into the supernode BSR

@@ -409,7 +409,8 @@ class NavierStokesSolver:
                 self.op,
                 gbsr=build_gradient_bsr(
                     self._schur_host, self.space.n_unodes,
-                    self.space.n_pnodes, bs=cfg.numerics.bsr_block,
+                    self.space.n_pnodes,
+                    bs=cfg.numerics.bsr_block_grad or cfg.numerics.bsr_block,
                     dtype=self.dtype,
                 ),
             )
@@ -431,7 +432,8 @@ class NavierStokesSolver:
                 self.op,
                 dbsr=build_divergence_bsr(
                     self._schur_host, self.space.n_unodes,
-                    self.space.n_pnodes, bs=cfg.numerics.bsr_block,
+                    self.space.n_pnodes,
+                    bs=cfg.numerics.bsr_block_div or cfg.numerics.bsr_block,
                     dtype=self.dtype,
                 ),
             )
@@ -507,7 +509,8 @@ class NavierStokesSolver:
 
             self._kbsr = build_velocity_kbsr(
                 self.space, self.geom, build_ref_tables(self.space.dim),
-                self.problem.nu, cfg.time.dt, bs=cfg.numerics.bsr_block,
+                self.problem.nu, cfg.time.dt,
+                bs=cfg.numerics.bsr_block_vel or cfg.numerics.bsr_block,
                 dtype=self.dtype,
             )
             _mark("constant-K BSR")

@@ -183,7 +183,9 @@ def build_bsr(
     unperm = np.empty(NB, dtype=np.int64)
     unperm[row_order] = np.arange(NB)
     cnt_sorted = counts[row_order]
-    cuts = _bucket_cuts(cnt_sorted, max_buckets, bucket_penalty // (bs * bs))
+    cuts = _bucket_cuts(
+        cnt_sorted, max_buckets, bucket_penalty // (bs * bs * Cout * Cin)
+    )
 
     # Per block: its bucket, its (local) row within the bucket, its slot.
     bucket_of_row = np.empty(NB, dtype=np.int64)

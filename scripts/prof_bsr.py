@@ -2,8 +2,7 @@
 round-3 forms (element pass, assembled-ELL gradient) at bench scale.
 
 Usage: python scripts/prof_bsr.py [lc] [nz] [bs ...]   (default 965k mesh,
-block sizes 128 256 -- bs must be a lane multiple on TPU or the value
-arrays tile-pad)
+block sizes 8 16 32 64 -- any multiple of 8 tiles exactly)
 """
 from __future__ import annotations
 
@@ -37,19 +36,23 @@ from navierstokes_project_nm4pde_tpu.ops.bsr import (
 REPS = 20
 
 
-def timeit(f, x0):
-    def prog(x):
+def timeit(f, x0, m=None):
+    """Time f (or f(m, .)): the operator `m` is threaded as a jit ARGUMENT,
+    never a closure -- closure constants are serialized into the remote
+    compile request (GB-scale BSR values wedge the tunnel)."""
+
+    def prog(mm, x):
         def body(_, v):
-            out = f(v)
+            out = f(v) if mm is None else f(mm, v)
             return x * (1.0 + 1e-30 * jnp.max(jnp.abs(out)))
 
         return jnp.sum(jax.lax.fori_loop(0, REPS, body, x))
 
     jprog = jax.jit(prog)
-    float(jprog(x0))
-    float(jprog(x0))
+    float(jprog(m, x0))
+    float(jprog(m, x0))
     t0 = time.perf_counter()
-    float(jprog(x0))
+    float(jprog(m, x0))
     return (time.perf_counter() - t0) / REPS * 1e3
 
 
@@ -66,7 +69,7 @@ def stats(name, m):
 def main():
     lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.024
     nz = int(sys.argv[2]) if len(sys.argv) > 2 else 14
-    bss = [int(a) for a in sys.argv[3:]] or [128, 256]
+    bss = [int(a) for a in sys.argv[3:]] or [8, 16, 32, 64]
     t0 = time.time()
     mesh = cylinder_duct_3d(lc=lc, nz=nz).reorder_spatial("rcm")
     space = build_taylor_hood(mesh)
@@ -116,13 +119,12 @@ def main():
                      / jnp.linalg.norm(g_ref))
         print(f"# rel diff D/G bs={bs}: {errd:.2e} / {errg:.2e}",
               file=sys.stderr)
-        t_d = timeit(lambda u: apply_bsr(dbsr, u)[:, 0], u0)
-        t_g = timeit(lambda p: apply_bsr(gbsr, p[:, None]), p0)
-        for c in ("einsum",):
-            d2 = dataclasses.replace(dbsr, contraction=c)
-            g2 = dataclasses.replace(gbsr, contraction=c)
-            t_d2 = timeit(lambda u: apply_bsr(d2, u)[:, 0], u0)
-            t_g2 = timeit(lambda p: apply_bsr(g2, p[:, None]), p0)
+        t_d = timeit(lambda m, u: apply_bsr(m, u)[:, 0], u0, dbsr)
+        t_g = timeit(lambda m, p: apply_bsr(m, p[:, None]), p0, gbsr)
+        d2 = dataclasses.replace(dbsr, contraction="einsum")
+        g2 = dataclasses.replace(gbsr, contraction="einsum")
+        t_d2 = timeit(lambda m, u: apply_bsr(m, u)[:, 0], u0, d2)
+        t_g2 = timeit(lambda m, p: apply_bsr(m, p[:, None]), p0, g2)
         print(f"divergence BSR bs={bs:3d}   : {t_d:8.2f} ms "
               f"(einsum {t_d2:.2f})")
         print(f"gradient   BSR bs={bs:3d}   : {t_g:8.2f} ms "
@@ -159,9 +161,9 @@ def main():
                 / jnp.linalg.norm(k_ref)
             )
             print(f"# rel diff K bs={bs}: {errk:.2e}", file=sys.stderr)
-            t_k = timeit(lambda u: apply_bsr_scalar(kbsr, u), u0)
+            t_k = timeit(apply_bsr_scalar, u0, kbsr)
             k2 = dataclasses.replace(kbsr, contraction="einsum")
-            t_k2 = timeit(lambda u: apply_bsr_scalar(k2, u), u0)
+            t_k2 = timeit(apply_bsr_scalar, u0, k2)
             print(f"K BSR bs={bs:3d}          : {t_k:8.2f} ms "
                   f"(einsum {t_k2:.2f})")
 
