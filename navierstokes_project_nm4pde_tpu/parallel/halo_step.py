@@ -27,9 +27,6 @@ single-device `_step_projection` is tested on 8 CPU devices
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,7 +43,6 @@ from navierstokes_project_nm4pde_tpu.parallel.halo import (
     HaloPlan,
     _gather_ext,
     _reduce_ext,
-    _to_owned,
     build_halo_plan,
     to_natural,
 )
