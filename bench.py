@@ -183,6 +183,11 @@ def measure():
             # for the round-3 element/ELL forms.
             bsr_block=int(os.environ.get("NS_BENCH_BSR_BLOCK", "32")),
             bsr_block_grad=int(os.environ.get("NS_BENCH_BSR_GRAD", "16")),
+            # "auto" = macro-element block-dense F apply for the implicit
+            # projection stepper (ops/macroblock.py); "element" keeps the
+            # round-3 folded element pass for A/B.
+            f_apply=os.environ.get("NS_BENCH_F_APPLY", "auto"),
+            macro_cblk=int(os.environ.get("NS_BENCH_MACRO_CBLK", "20")),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
             # "auto" = block-banded dense SpMV when the RCM band fits
             # (frozen Schur only); "ell" forces the bucketed ELL form.

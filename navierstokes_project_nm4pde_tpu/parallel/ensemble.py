@@ -71,12 +71,15 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         dev_run = _dc.replace(
             dev_run, op=_dc.replace(dev_run.op, gradt=None)
         )
-    if dev_run.imex is not None or dev_run.kbsr is not None:
+    if (dev_run.imex is not None or dev_run.kbsr is not None
+            or dev_run.macro is not None):
         # Constant-K BSR is built for the solver's base nu (ensemble
-        # members sweep nu), and the fine-subset pass materialises a
-        # [B, E_f, nloc, nloc] fold under vmap: fall back to the masked
-        # element fold (identical operator, nu-correct).
-        dev_run = _dc.replace(dev_run, imex=None, kbsr=None)
+        # members sweep nu), the fine-subset pass materialises a
+        # [B, E_f, nloc, nloc] fold under vmap, and the macro-element
+        # block assembly would build a [B, Bm, U, U] value array per
+        # step: fall back to the masked element fold (identical
+        # operator, nu-correct).
+        dev_run = _dc.replace(dev_run, imex=None, kbsr=None, macro=None)
     if dev_run.op.dbsr is not None or dev_run.op.gbsr is not None:
         # Same reasoning for the supernode BSR D/G forms: the batched
         # element passes already gather wide rows, and the BSR broadcast

@@ -139,6 +139,7 @@ def shard_solver(solver, mesh: Mesh):
     # falls back to the masked element fold (identical operator).
     solver._imex = None
     solver._kbsr = None
+    solver._macro = None
     solver._rebuild_device_data()
     return solver
 

@@ -1,0 +1,86 @@
+"""Macro-element block-dense F (ops/macroblock.py).
+
+F~ must be EXACTLY the assembled operator F (same values, different
+summation order): unit equality against apply_F, and a full projection
+step through the solver fast path against the element fallback.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_project_nm4pde_tpu.config import (
+    NumericsConfig,
+    PrecondConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from navierstokes_project_nm4pde_tpu.fem.geometry import cell_geometry
+from navierstokes_project_nm4pde_tpu.fem.space import build_taylor_hood
+from navierstokes_project_nm4pde_tpu.mesh import cylinder_duct_3d
+from navierstokes_project_nm4pde_tpu.models import (
+    Cylinder3DProblem,
+    NavierStokesSolver,
+)
+from navierstokes_project_nm4pde_tpu.ops import operators as ops
+from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+    apply_macro,
+    build_macro_plan,
+    build_macro_values,
+)
+
+
+def test_macro_apply_matches_apply_F():
+    mesh = cylinder_duct_3d(lc=0.25, nz=3).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0, 2, 4])
+    op = ops.build_operator(space, geom, np.asarray(mask), dtype=jnp.float64)
+    nu, dt = 1e-3, 2e-4
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    w = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    conv = ops.convection_setup(op, w, fold=(nu, dt))
+    y_ref = np.asarray(ops.apply_F(op, nu, dt, conv, u))
+
+    mp = build_macro_plan(
+        np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=20
+    )
+    assert mp.B * mp.c_blk >= mesh.n_cells
+    y = np.asarray(apply_macro(mp, build_macro_values(mp, conv.F_e), u))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-13)
+
+
+def _cfg(f_apply):
+    return RunConfig(
+        time=TimeConfig(dt=1e-3, t_end=1.0, stepper="projection"),
+        solver=SolverConfig(rtol=1e-11, restart=20, maxiter=100,
+                            tol_mode="b", guess_order=2),
+        precond=PrecondConfig(kind="yosida", f_iters=0, s_iters=3,
+                              mg2_form="additive"),
+        numerics=NumericsConfig(
+            dtype="float64", precise_dots=False, steps_per_chunk=2,
+            f_apply=f_apply,
+        ),
+    )
+
+
+def test_macro_projection_step_matches_element():
+    """Full projection steps through the solver: macro fast path vs the
+    element fold fallback (identical operator)."""
+    mesh = cylinder_duct_3d(lc=0.22, nz=3)
+    problem = Cylinder3DProblem(test_case=2)
+    s_fast = NavierStokesSolver(mesh, problem, _cfg("macro"))
+    assert s_fast._macro is not None
+    st_fast, _ = s_fast.run(2)
+    s_ref = NavierStokesSolver(mesh, problem, _cfg("element"))
+    assert s_ref._macro is None
+    st_ref, _ = s_ref.run(2)
+    np.testing.assert_allclose(
+        np.asarray(st_fast.u), np.asarray(st_ref.u), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_fast.p), np.asarray(st_ref.p), rtol=1e-7, atol=1e-9
+    )
