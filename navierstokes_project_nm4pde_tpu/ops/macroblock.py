@@ -45,6 +45,12 @@ class MacroPlan:
     uidx: jax.Array  # [B, U] int32 global node per block slot (pad -> n)
     onehot: jax.Array  # [B, c_blk, nloc, U] bf16 one-hot of local slots
     plan: object  # GatherPlan: flat [B*U] block-slot contribs -> [n]
+    # Two-level (windowed) form of the slot gather: block rows are RCM-
+    # ordered so each chunk's nodes live in small vertex/edge windows --
+    # the gather rate is SOURCE-working-set bound (~3x the plain rate at
+    # 965k).  Pad slots are remapped to the block's first node (their Ft
+    # rows/columns are zero, so the gathered value is never consumed).
+    wgather: object | None
     n: int = dataclasses.field(metadata=dict(static=True))
     B: int = dataclasses.field(metadata=dict(static=True))
     U: int = dataclasses.field(metadata=dict(static=True))
@@ -53,12 +59,16 @@ class MacroPlan:
 
 
 def build_macro_plan(
-    cells_u: np.ndarray, n_unodes: int, U: int = 128, c_blk: int = 20
+    cells_u: np.ndarray, n_unodes: int, U: int = 128, c_blk: int = 20,
+    n_vertices: int | None = None,
 ) -> MacroPlan:
     """Group RCM-consecutive cells into blocks of `c_blk` with <= U unique
-    nodes each (c_blk auto-shrinks if any block overflows)."""
+    nodes each (c_blk auto-shrinks if any block overflows).  Pass
+    `n_vertices` (the P2 vertex/edge numbering split) to enable the
+    windowed two-level slot gather."""
     from navierstokes_project_nm4pde_tpu.ops.scatter import (
         build_gather_plan_grouped,
+        build_windowed_gather,
     )
 
     cells = np.asarray(cells_u, dtype=np.int64)
@@ -103,10 +113,21 @@ def build_macro_plan(
         drop_row=n_unodes,
         mode="columns",
     )
+    wgather = None
+    if n_vertices is not None:
+        ug = uidx.copy()
+        padslots = ug == n_unodes
+        ug[padslots] = np.broadcast_to(ug[:, :1], ug.shape)[padslots]
+        wgather = build_windowed_gather(
+            ug, n_vertices, n_unodes, cells_per_block=256, align=512
+        )
+        if wgather.window_rows > max(n_unodes // 4, 4096):
+            wgather = None  # degenerate windows (unordered mesh)
     return MacroPlan(
         uidx=jnp.asarray(uidx, jnp.int32),
         onehot=jnp.asarray(onehot, jnp.bfloat16),
         plan=plan,
+        wgather=wgather,
         n=n_unodes,
         B=B,
         U=U,
@@ -131,11 +152,14 @@ def build_macro_values(mp: MacroPlan, F_e: jax.Array) -> jax.Array:
         [F_e, jnp.zeros((pad, nloc, nloc), F_e.dtype)], axis=0
     ).reshape(B, c, nloc, nloc)
     P = mp.onehot.astype(F_e.dtype)
+    # Intermediate laid out [B, c, nloc, U]: the U axis MUST be minor (an
+    # [.., U, nloc] order puts nloc=10 in the lane dim and the (8, 128)
+    # tile pads the buffer 12.8x -- measured as a 14 GB intermediate).
     A = jnp.einsum(
-        "bciu,bcij->bcuj", P, F_ep, precision=jax.lax.Precision.HIGHEST
+        "bciu,bcij->bcju", P, F_ep, precision=jax.lax.Precision.HIGHEST
     )
     return jnp.einsum(
-        "bcuj,bcjv->buv", A, P, precision=jax.lax.Precision.HIGHEST
+        "bcju,bcjv->buv", A, P, precision=jax.lax.Precision.HIGHEST
     )
 
 
@@ -144,9 +168,21 @@ def apply_macro(mp: MacroPlan, Ft: jax.Array, u: jax.Array) -> jax.Array:
     from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
 
     C = u.shape[1]
-    xb = jnp.concatenate([u, jnp.zeros((1, C), u.dtype)], axis=0)
-    u_b = xb[mp.uidx]  # [B, U, C] -- beta*n rows instead of slot rows
-    # batched dense matvec; VPU broadcast fold (exact f32, fuses into the
-    # reduction -- the engine-wide element_contraction finding)
-    y_b = (Ft[..., None] * u_b[:, None, :, :]).sum(axis=2)  # [B, U, C]
+    if mp.wgather is not None:
+        from navierstokes_project_nm4pde_tpu.ops.scatter import (
+            apply_windowed_gather,
+        )
+
+        u_b = apply_windowed_gather(mp.wgather, u)  # [B, U, C]
+    else:
+        xb = jnp.concatenate([u, jnp.zeros((1, C), u.dtype)], axis=0)
+        u_b = xb[mp.uidx]  # [B, U, C] -- beta*n rows, not slot rows
+    # MXU batched matvec at HIGHEST precision (the validated bf16x6
+    # emulation): measured 13.1 ms vs 15.5-16.9 for the channel-planar
+    # VPU fold at 965k -- the VPU form re-streams the 712 MB value array
+    # per channel, the MXU expands operand tiles in VMEM and streams Ft
+    # once (scripts/prof_macro.py).
+    y_b = jnp.einsum(
+        "buv,bvc->buc", Ft, u_b, precision=jax.lax.Precision.HIGHEST
+    )
     return apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, C))

@@ -85,7 +85,8 @@ def main():
     for cb in cbs:
         tb = time.time()
         mp = build_macro_plan(
-            np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=cb
+            np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=cb,
+            n_vertices=mesh.n_vertices,
         )
         jax.block_until_ready(mp.onehot)
         print(
@@ -108,6 +109,47 @@ def main():
         t_apply = timeit(
             lambda mft, u: apply_macro(mft[0], mft[1], u), (mp, Ft), u0
         )
+
+        # variants: MXU apply (one HIGHEST dot instead of 3 VPU streams),
+        # HIGH-precision build (bf16x3 is exact against a 0/1 operand),
+        # plain (unwindowed) slot gather
+        def apply_mxu(mft, u):
+            m, ft = mft
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                apply_gather_plan, apply_windowed_gather)
+            u_b = apply_windowed_gather(m.wgather, u)
+            y_b = jnp.einsum("buv,bvc->buc", ft, u_b,
+                             precision=jax.lax.Precision.HIGHEST)
+            return apply_gather_plan(m.plan, y_b.reshape(m.B * m.U, -1))
+
+        t_apply_mxu = timeit(apply_mxu, (mp, Ft), u0)
+
+        def build_high_full(m, fe):
+            B, c, U = m.B, m.c_blk, m.U
+            nl = fe.shape[1]
+            fep = jnp.concatenate(
+                [fe, jnp.zeros((B * c - fe.shape[0], nl, nl), fe.dtype)], 0
+            ).reshape(B, c, nl, nl)
+            P = m.onehot.astype(fe.dtype)
+            A = jnp.einsum("bciu,bcij->bcju", P, fep,
+                           precision=jax.lax.Precision.HIGH)
+            return jnp.einsum("bcju,bcjv->buv", A, P,
+                              precision=jax.lax.Precision.HIGH)
+
+        t_build_high = timeit(
+            lambda m, fe: build_high_full(m, fe)[:, 0, 0], mp, Fe
+        )
+        err_h = float(jnp.linalg.norm(
+            apply_macro(mp, build_high_full(mp, Fe), u0) - y_ref
+        ) / jnp.linalg.norm(y_ref))
+        print(f"  # build HIGH rel err: {err_h:.2e}", file=sys.stderr)
+        import dataclasses as _dc
+        mp_plain = _dc.replace(mp, wgather=None)
+        t_apply_plain = timeit(
+            lambda mft, u: apply_macro(mft[0], mft[1], u), (mp_plain, Ft), u0
+        )
+        print(f"  variants: apply mxu {t_apply_mxu:7.2f}  apply plain "
+              f"{t_apply_plain:7.2f}  build high {t_build_high:7.2f}")
         print(
             f"macro c={mp.c_blk:3d}: build {t_build:7.2f} ms  apply "
             f"{t_apply:7.2f} ms  (build + 4 applies "

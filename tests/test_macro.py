@@ -46,7 +46,8 @@ def test_macro_apply_matches_apply_F():
     y_ref = np.asarray(ops.apply_F(op, nu, dt, conv, u))
 
     mp = build_macro_plan(
-        np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=20
+        np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=20,
+        n_vertices=mesh.n_vertices,
     )
     assert mp.B * mp.c_blk >= mesh.n_cells
     y = np.asarray(apply_macro(mp, build_macro_values(mp, conv.F_e), u))
