@@ -245,11 +245,12 @@ def main():
     # viable attempt (smallest mesh, ~90 s) always gets to run.
     attempts = [
         # (recovery sleep, est. child seconds, overrides)
-        # 965k measured: ~250 s setup (host tables + tunneled transfers)
-        # + ~180 s compile when the persistent cache is cold + ~60 s
-        # warmup/timed; the 1.6x cap on the estimate must cover the
-        # cold-cache case or attempt 1 burns budget and still fails.
-        (0, 520, {}),  # ~965k DoF default (setup+compile dominate)
+        # 965k measured: ~100-250 s setup (host tables + tunneled
+        # transfers) + compile (round-4 macro program: ~870 s COLD, ~30 s
+        # against the persistent cache) + ~60 s warmup/timed; the 1.6x
+        # cap on the estimate must cover the cold-cache case or attempt 1
+        # burns budget and still fails.
+        (0, 600, {}),  # ~965k DoF default (setup+compile dominate)
         (0, 330, {"NS_BENCH_LC": "0.028", "NS_BENCH_NZ": "12"}),  # ~609k
         (120, 150, {"NS_BENCH_LC": "0.05", "NS_BENCH_NZ": "8"}),  # ~200k
         (0, 120, {"NS_BENCH_LC": "0.08", "NS_BENCH_NZ": "6"}),  # ~47k

@@ -31,10 +31,16 @@ f32 fidelity under precision="highest".
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 @jax.tree_util.register_dataclass
@@ -136,7 +142,9 @@ def build_macro_plan(
     )
 
 
-def build_macro_values(mp: MacroPlan, F_e: jax.Array) -> jax.Array:
+def build_macro_values(
+    mp: MacroPlan, F_e: jax.Array, layout: str = "uv"
+) -> jax.Array:
     """Per-step block-dense values Ft [B, U, U] from the folded
     per-element matrices F_e [E, nloc, nloc].
 
@@ -144,7 +152,11 @@ def build_macro_values(mp: MacroPlan, F_e: jax.Array) -> jax.Array:
     row at its block slot (each output is a SINGLE F_e value -- exact);
     stage 2 sums the <= c_blk per-(u, v) contributions in f32.  The
     one-hot operand is exact in bf16; precision="highest" keeps the F_e
-    side at f32 fidelity."""
+    side at f32 fidelity.
+
+    layout="vu" emits the TRANSPOSED values Ft[b, v, u] (contraction
+    axis v in sublanes) consumed by the VPU matvec kernel below -- same
+    build cost, just the output einsum order."""
     B, c, U = mp.B, mp.c_blk, mp.U
     nloc = F_e.shape[1]
     pad = B * c - F_e.shape[0]
@@ -158,9 +170,67 @@ def build_macro_values(mp: MacroPlan, F_e: jax.Array) -> jax.Array:
     A = jnp.einsum(
         "bciu,bcij->bcju", P, F_ep, precision=jax.lax.Precision.HIGHEST
     )
+    out = "bvu" if layout == "vu" else "buv"
     return jnp.einsum(
-        "bcju,bcjv->buv", A, P, precision=jax.lax.Precision.HIGHEST
+        f"bcju,bcjv->{out}", A, P, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def _mv_kernel(ftT_ref, ub_ref, out_ref, *, nb, C):
+    """Per-grid-step block matvec on the VPU (no MXU, no precision
+    emulation): out[i, c, :] = sum_v ftT[i, v, :] * ub[i, v, c].
+
+    ftT keeps the contraction axis v in SUBLANES so the reduction is the
+    cheap cross-sublane one and the Ft value stream is read exactly once
+    for all C channels -- the MXU form pads the 3-column operand to 128
+    lanes and pays the 6-pass HIGHEST emulation on 128^3 blocks (measured
+    54 GB/s effective at 965k; this kernel is bandwidth-shaped)."""
+    for i in range(nb):
+        ft = ftT_ref[i]  # [V, U] f32, v in sublanes
+        cols = []
+        for c in range(C):
+            prod = ft * ub_ref[i, :, c : c + 1]  # [V, U] * [V, 1]
+            cols.append(jnp.sum(prod, axis=0, keepdims=True))  # [1, U]
+        out_ref[i] = jnp.concatenate(cols, axis=0)  # [C, U]
+
+
+def macro_matvec_vpu(FtT: jax.Array, u_b: jax.Array, nb: int = 8):
+    """y_b[b, u, c] = sum_v FtT[b, v, u] * u_b[b, v, c] via the Pallas
+    VPU kernel; returns [B, U, C]."""
+    B, V, U = FtT.shape
+    C = u_b.shape[-1]
+    grid = -(-B // nb)
+    yT = pl.pallas_call(
+        functools.partial(_mv_kernel, nb=nb, C=C),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((nb, V, U), lambda b: (b, 0, 0)),
+            pl.BlockSpec((nb, V, C), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nb, C, U), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C, U), FtT.dtype),
+        interpret=_interpret(),
+    )(FtT, u_b)
+    return jnp.swapaxes(yT, 1, 2)
+
+
+def apply_macro_t(mp: MacroPlan, FtT: jax.Array, u: jax.Array) -> jax.Array:
+    """y = F u via the TRANSPOSED block values (layout="vu") and the VPU
+    matvec kernel: [n, C] -> [n, C].  Exactly the same summation values
+    as apply_macro -- only the matvec engine differs."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import (
+        apply_gather_plan,
+        apply_windowed_gather,
+    )
+
+    C = u.shape[1]
+    if mp.wgather is not None:
+        u_b = apply_windowed_gather(mp.wgather, u)  # [B, V, C]
+    else:
+        xb = jnp.concatenate([u, jnp.zeros((1, C), u.dtype)], axis=0)
+        u_b = xb[mp.uidx]
+    y_b = macro_matvec_vpu(FtT, u_b)
+    return apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, C))
 
 
 def apply_macro(mp: MacroPlan, Ft: jax.Array, u: jax.Array) -> jax.Array:

@@ -148,8 +148,40 @@ def main():
         t_apply_plain = timeit(
             lambda mft, u: apply_macro(mft[0], mft[1], u), (mp_plain, Ft), u0
         )
+
+        # VPU matvec variants on the transposed values: the Pallas kernel
+        # (ftT streamed once, all channels) and an XLA broadcast-reduce
+        from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+            apply_macro_t,
+        )
+
+        FtT = build_macro_values(mp, Fe, layout="vu")
+        err_t = float(
+            jnp.linalg.norm(apply_macro_t(mp, FtT, u0) - y_ref)
+            / jnp.linalg.norm(y_ref)
+        )
+        print(f"  # vpu-kernel rel err: {err_t:.2e}", file=sys.stderr)
+        t_build_t = timeit(
+            lambda m, fe: build_macro_values(m, fe, layout="vu")[:, 0, 0],
+            mp, Fe,
+        )
+        t_apply_vpu = timeit(
+            lambda mft, u: apply_macro_t(mft[0], mft[1], u), (mp, FtT), u0
+        )
+
+        def apply_xfold(mft, u):
+            m, ftT = mft
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                apply_gather_plan, apply_windowed_gather)
+            u_b = apply_windowed_gather(m.wgather, u)  # [B, V, C]
+            y_b = jnp.sum(ftT[:, :, :, None] * u_b[:, :, None, :], axis=1)
+            return apply_gather_plan(m.plan, y_b.reshape(m.B * m.U, -1))
+
+        t_apply_xfold = timeit(apply_xfold, (mp, FtT), u0)
         print(f"  variants: apply mxu {t_apply_mxu:7.2f}  apply plain "
               f"{t_apply_plain:7.2f}  build high {t_build_high:7.2f}")
+        print(f"  vpu: apply pallas {t_apply_vpu:7.2f}  apply xfold "
+              f"{t_apply_xfold:7.2f}  build vu {t_build_t:7.2f}")
         print(
             f"macro c={mp.c_blk:3d}: build {t_build:7.2f} ms  apply "
             f"{t_apply:7.2f} ms  (build + 4 applies "
