@@ -112,10 +112,15 @@ def build_macro_plan(
         & jnp.asarray(valid)[:, :, None, None]
     ).astype(jnp.bfloat16)
 
+    # Valence buckets tuned on the 965k bench mesh: block overlap beta is
+    # small (most nodes appear in 1-4 blocks), so fine low-valence buckets
+    # cut the K_max padding waste -- 8.45 -> 7.32 ms per reduce (1.07M ->
+    # 898k gathered rows); even finer (..5..12) re-loses to per-bucket
+    # fixed op costs (scripts/prof_macro_apply.py).
     plan = build_gather_plan_grouped(
         uidx.reshape(-1),
         n_unodes,
-        thresholds=(2, 4, 8),
+        thresholds=(1, 2, 3, 4, 6, 8),
         drop_row=n_unodes,
         mode="columns",
     )

@@ -95,7 +95,10 @@ def main():
             f"{mp.B * mp.U / 1e3:.0f}k; build {time.time() - tb:.1f}s",
             file=sys.stderr,
         )
-        Ft = build_macro_values(mp, Fe)
+        # jit the one-off builds: eager mode keeps every 3.3 GB einsum
+        # intermediate alive at once and OOMs at 965k
+        jbuild = jax.jit(build_macro_values, static_argnames="layout")
+        Ft = jbuild(mp, Fe)
         err = float(
             jnp.linalg.norm(apply_macro(mp, Ft, u0) - y_ref)
             / jnp.linalg.norm(y_ref)
@@ -113,11 +116,20 @@ def main():
         # variants: MXU apply (one HIGHEST dot instead of 3 VPU streams),
         # HIGH-precision build (bf16x3 is exact against a 0/1 operand),
         # plain (unwindowed) slot gather
+        def gather_ub(m, u):
+            from navierstokes_project_nm4pde_tpu.ops.scatter import (
+                apply_windowed_gather)
+            if m.wgather is not None:
+                return apply_windowed_gather(m.wgather, u)
+            xb = jnp.concatenate(
+                [u, jnp.zeros((1, u.shape[1]), u.dtype)], axis=0)
+            return xb[m.uidx]
+
         def apply_mxu(mft, u):
             m, ft = mft
             from navierstokes_project_nm4pde_tpu.ops.scatter import (
-                apply_gather_plan, apply_windowed_gather)
-            u_b = apply_windowed_gather(m.wgather, u)
+                apply_gather_plan)
+            u_b = gather_ub(m, u)
             y_b = jnp.einsum("buv,bvc->buc", ft, u_b,
                              precision=jax.lax.Precision.HIGHEST)
             return apply_gather_plan(m.plan, y_b.reshape(m.B * m.U, -1))
@@ -140,7 +152,7 @@ def main():
             lambda m, fe: build_high_full(m, fe)[:, 0, 0], mp, Fe
         )
         err_h = float(jnp.linalg.norm(
-            apply_macro(mp, build_high_full(mp, Fe), u0) - y_ref
+            apply_macro(mp, jax.jit(build_high_full)(mp, Fe), u0) - y_ref
         ) / jnp.linalg.norm(y_ref))
         print(f"  # build HIGH rel err: {err_h:.2e}", file=sys.stderr)
         import dataclasses as _dc
@@ -155,7 +167,7 @@ def main():
             apply_macro_t,
         )
 
-        FtT = build_macro_values(mp, Fe, layout="vu")
+        FtT = jbuild(mp, Fe, layout="vu")
         err_t = float(
             jnp.linalg.norm(apply_macro_t(mp, FtT, u0) - y_ref)
             / jnp.linalg.norm(y_ref)
@@ -172,12 +184,55 @@ def main():
         def apply_xfold(mft, u):
             m, ftT = mft
             from navierstokes_project_nm4pde_tpu.ops.scatter import (
-                apply_gather_plan, apply_windowed_gather)
-            u_b = apply_windowed_gather(m.wgather, u)  # [B, V, C]
+                apply_gather_plan)
+            u_b = gather_ub(m, u)  # [B, V, C]
             y_b = jnp.sum(ftT[:, :, :, None] * u_b[:, :, None, :], axis=1)
             return apply_gather_plan(m.plan, y_b.reshape(m.B * m.U, -1))
 
         t_apply_xfold = timeit(apply_xfold, (mp, FtT), u0)
+
+        # precision ladder on the MXU matvec: if the HIGHEST emulation
+        # re-streams Ft per pass, HIGH (bf16x3) and a hand-split
+        # double-bf16 scheme (3 exact bf16 passes over HALF the bytes --
+        # the value array itself stored as a hi/lo bf16 pair) should
+        # scale with pass count x bytes
+        from navierstokes_project_nm4pde_tpu.ops.scatter import (
+            apply_gather_plan)
+
+        def apply_prec(pm):
+            def f(mft, u):
+                m, ft = mft
+                u_b = gather_ub(m, u)
+                y_b = jnp.einsum("buv,bvc->buc", ft, u_b, precision=pm)
+                return apply_gather_plan(m.plan, y_b.reshape(m.B * m.U, -1))
+            return f
+
+        for name, pm in (("high", jax.lax.Precision.HIGH),
+                         ("dflt", jax.lax.Precision.DEFAULT)):
+            fp = apply_prec(pm)
+            err_p = float(jnp.linalg.norm(fp((mp, Ft), u0) - y_ref)
+                          / jnp.linalg.norm(y_ref))
+            t_p = timeit(fp, (mp, Ft), u0)
+            print(f"  mxu {name}: apply {t_p:7.2f} ms  rel err {err_p:.2e}")
+
+        Fth = Ft.astype(jnp.bfloat16)
+        Ftl = (Ft - Fth.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def apply_split(mft, u):
+            m, (fh, fl) = mft
+            u_b = gather_ub(m, u)
+            uh = u_b.astype(jnp.bfloat16)
+            ul = (u_b - uh.astype(jnp.float32)).astype(jnp.bfloat16)
+            ein = lambda a, b: jnp.einsum(  # noqa: E731
+                "buv,bvc->buc", a, b,
+                preferred_element_type=jnp.float32)
+            y_b = ein(fh, uh) + ein(fh, ul) + ein(fl, uh)
+            return apply_gather_plan(m.plan, y_b.reshape(m.B * m.U, -1))
+
+        err_s = float(jnp.linalg.norm(apply_split((mp, (Fth, Ftl)), u0)
+                                      - y_ref) / jnp.linalg.norm(y_ref))
+        t_split = timeit(apply_split, (mp, (Fth, Ftl)), u0)
+        print(f"  mxu split2: apply {t_split:7.2f} ms  rel err {err_s:.2e}")
         print(f"  variants: apply mxu {t_apply_mxu:7.2f}  apply plain "
               f"{t_apply_plain:7.2f}  build high {t_build_high:7.2f}")
         print(f"  vpu: apply pallas {t_apply_vpu:7.2f}  apply xfold "
