@@ -185,6 +185,52 @@ def extra_build_reduce(lc=0.024, nz=14):
     t = timeit(lambda m, fe: build_macro_values(m, fe)[:, 0, 0], mp, Fe)
     print(f"build HIGHEST           : {t:7.2f} ms")
 
+    # stage split: where do the 21 ms go?  stage 1 (placement, nloc
+    # contraction) vs stage 2 (the [U, c*nloc] x [c*nloc, U] batched GEMM
+    # over the 1.1 GB materialised intermediate A)
+    HI = jax.lax.Precision.HIGHEST
+    B, c, U = mp.B, mp.c_blk, mp.U
+
+    def pad_fe(m, fe):
+        nl = fe.shape[1]
+        fep = jnp.concatenate(
+            [fe, jnp.zeros((m.B * m.c_blk - fe.shape[0], nl, nl),
+                           fe.dtype)], 0)
+        return fep.reshape(m.B, m.c_blk, nl, nl)
+
+    def stage1(m, fe):
+        P = m.onehot.astype(fe.dtype)
+        A = jnp.einsum("bciu,bcij->bcju", P, pad_fe(m, fe), precision=HI)
+        return A[:, 0, 0, 0]
+
+    t1 = timeit(stage1, mp, Fe)
+    print(f"  stage1 HIGHEST        : {t1:7.2f} ms")
+
+    def full_via(m, fe, prec2, split_a=False):
+        P = m.onehot.astype(fe.dtype)
+        A = jnp.einsum("bciu,bcij->bcju", P, pad_fe(m, fe), precision=HI)
+        if not split_a:
+            return jnp.einsum("bcju,bcjv->buv", A, P, precision=prec2)
+        Ah = A.astype(jnp.bfloat16)
+        Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        Pb = m.onehot
+        y = jnp.einsum("bcju,bcjv->buv", Ah, Pb,
+                       preferred_element_type=jnp.float32)
+        y = y + jnp.einsum("bcju,bcjv->buv", Al, Pb,
+                           preferred_element_type=jnp.float32)
+        return y
+
+    for tag, kw in (
+        ("s2 HIGHEST", dict(prec2=HI)),
+        ("s2 DEFAULT", dict(prec2=jax.lax.Precision.DEFAULT)),
+        ("s2 split-A", dict(prec2=None, split_a=True)),
+    ):
+        fv = lambda m, fe, kw=kw: full_via(m, fe, **kw)  # noqa: E731
+        err = float(jnp.linalg.norm(jax.jit(fv)(mp, Fe) - Ft_ref)
+                    / jnp.linalg.norm(Ft_ref))
+        t = timeit(lambda m, fe, fv=fv: fv(m, fe)[:, 0, 0], mp, Fe)
+        print(f"  {tag}           : {t:7.2f} ms  rel err {err:.1e}")
+
     def build_prec(m, fe, prec):
         B, c, U = m.B, m.c_blk, m.U
         nl = fe.shape[1]
