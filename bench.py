@@ -133,6 +133,13 @@ def measure():
             kind=precond, f_iters=f_iters, f_corr_iters=f_corr,
             s_iters=s_iters, s_solver=s_solver, f_solver=f_solver,
             low_precision=lowp,
+            # Recycled-block GCR velocity solve: one WIDE F apply over
+            # [Jacobi(r0), k directions from the previous step] replaces
+            # most sequential FGMRES iterations (the apply is row-rate
+            # bound, so the k+1-wide payload costs ~1 narrow apply).
+            f_recycle=int(
+                os.environ.get("NS_BENCH_RECYCLE", "0")
+            ) if f_iters == 0 else 0,
             # Skip the per-step diag(C) tabulation (a full row-rate-bound
             # scalar reduce feeding only the Jacobi diagonal, whose
             # convection part is near zero in the skew-symmetrised form).

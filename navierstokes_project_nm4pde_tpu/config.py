@@ -97,8 +97,23 @@ class PrecondConfig:
     # plain-Jacobi velocity preconditioner (f_iters=0, f_solver="gmres"):
     # the damped smoothers need diag(C) for their spectral-bound bump.
     freeze_conv_diag: bool = False
+    # Projection stepper only: pool size k for the recycled-block GCR
+    # velocity solve (0 = plain FGMRES).  The matrix-free F apply is
+    # row-rate bound (a [n, K*dim] payload costs about the same as
+    # [n, dim]), so one WIDE apply over [Jacobi(r0), pool of k directions
+    # recycled from the previous time step] replaces most of the
+    # sequential FGMRES iterations; narrow GCR rounds finish to tolerance
+    # against the exact residual (solvers/krylov.py gcr_recycled).
+    # Requires the plain-Jacobi velocity preconditioner (f_iters == 0).
+    f_recycle: int = 0
 
     def __post_init__(self):
+        if self.f_recycle > 0 and self.f_iters != 0:
+            raise ValueError(
+                "f_recycle requires the plain-Jacobi velocity "
+                "preconditioner (f_iters=0); got "
+                f"f_iters={self.f_iters}"
+            )
         if self.freeze_conv_diag and self.f_solver in (
             "richardson", "chebyshev", "pmg"
         ):

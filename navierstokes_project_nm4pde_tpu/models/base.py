@@ -93,6 +93,11 @@ class State:
     # its leading term is 4 N(u^n) and it destabilises the impulsive DFG
     # start at CFL ~ 0.15 (measured divergence at 47k and 965k DoF).
     conv_prev: jax.Array | None = None
+    # Recycled Krylov pool for the projection velocity solve
+    # (cfg.precond.f_recycle > 0): [k, n_unodes * dim] direction rows from
+    # the previous step's GCR solve (solvers/krylov.py gcr_recycled).
+    # Pure accelerator state: zeros are always valid (e.g. after resume).
+    fpool: jax.Array | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -868,6 +873,17 @@ class NavierStokesSolver:
             u_prev2=u if quad else None,
             # placeholder; step 0 falls back to AB1 and overwrites it
             conv_prev=jnp.zeros_like(u) if explicit_bdf2 else None,
+            # zero pool = wide round degenerates to one Jacobi direction
+            fpool=(
+                jnp.zeros(
+                    (self.config.precond.f_recycle, n * d), self.dtype
+                )
+                if (
+                    self.config.precond.f_recycle > 0
+                    and self.config.time.stepper == "projection"
+                )
+                else None
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -1183,6 +1199,12 @@ class NavierStokesSolver:
         rhs_u = jnp.where(mask[:, None], g, b_u)
         r0_u = jnp.where(mask[:, None], 0.0, r0_u)
 
+        # Fcore: the unmasked operator on [n, C] with ANY channel count C
+        # (the element tables, macro values, and BSR streams are all
+        # channel-generic) -- the recycled-block GCR path below rides wide
+        # channel payloads through it.  None when a per-iteration term is
+        # not channel-safe (the IMEX fine-subset correction).
+        Fcore = None
         if dev.kbsr is not None:
             from navierstokes_project_nm4pde_tpu.ops.bsr import (
                 apply_bsr_scalar,
@@ -1196,6 +1218,8 @@ class NavierStokesSolver:
                 C_ef = ops.convection_fine_fold(
                     op, dev.imex, w_e[dev.imex.f_idx]
                 )
+            if C_ef is None:
+                Fcore = lambda u2: apply_bsr_scalar(dev.kbsr, u2)  # noqa: E731
 
             def Fop(v):
                 u = v.reshape(n, d)
@@ -1217,6 +1241,7 @@ class NavierStokesSolver:
             # element gather+reduce pair.  Exactly F (same values,
             # different summation order).
             Ft_macro = build_macro_values(dev.macro, conv.F_e)
+            Fcore = lambda u2: apply_macro(dev.macro, Ft_macro, u2)  # noqa: E731
 
             def Fop(v):
                 u = v.reshape(n, d)
@@ -1224,6 +1249,7 @@ class NavierStokesSolver:
                 return jnp.where(mask[:, None], u, y).reshape(-1)
 
         else:
+            Fcore = lambda u2: ops.apply_F(op, nu, dt_eff, conv, u2)  # noqa: E731
 
             def Fop(v):
                 u = v.reshape(n, d)
@@ -1261,7 +1287,58 @@ class NavierStokesSolver:
         b_flat = rhs_u.reshape(-1)
         r0 = r0_u.reshape(-1)
         tol_kw = self._tol_kwargs(b_flat)
-        if explicit:
+        du_e = None
+        fpool_new = state.fpool
+        recycle = (
+            cfg.precond.f_recycle > 0
+            and not explicit
+            and Fcore is not None
+            and state.fpool is not None
+        )
+        if recycle:
+            from navierstokes_project_nm4pde_tpu.solvers.krylov import (
+                gcr_recycled,
+            )
+
+            kpool = cfg.precond.f_recycle
+
+            def Fop_block(Vc):
+                Kc = Vc.shape[1]
+                u3 = Vc.reshape(n, d, Kc)
+                y2 = Fcore(u3.reshape(n, d * Kc))
+                y3 = jnp.where(
+                    mask[:, None, None], u3, y2.reshape(n, d, Kc)
+                )
+                return y3.reshape(n * d, Kc)
+
+            minv_flat = jnp.broadcast_to(
+                pst.inv_diag_Fhat[:, None], (n, d)
+            ).reshape(-1)
+
+            def M_block(Vc):
+                return minv_flat[:, None] * Vc
+
+            du, info_f, Dused = gcr_recycled(
+                Fop_block,
+                r0,
+                M_block,
+                state.fpool,
+                # headroom beyond the typical count (F spikes in the
+                # shedding window); each extra slot costs two [n*dim]
+                # buffer rows, so don't mirror maxiter outright
+                max_narrow=min(cfg.solver.maxiter, 2 * cfg.solver.restart),
+                precise=cfg.numerics.precise_dots,
+                **tol_kw,
+            )
+            # Next step's pool: the converged increment, the fresh Jacobi
+            # direction, and the first narrow-round directions (all fresh
+            # information from THIS step's operator; unused narrow slots
+            # are zero rows, which the solver's norm guard ignores).
+            fresh = [du[None, :], Dused[0:1]]
+            if kpool > 2:
+                fresh.append(Dused[kpool + 1: kpool + 1 + (kpool - 2)])
+            fpool_new = jnp.concatenate(fresh, axis=0)[:kpool]
+        elif explicit:
             # K is SPD on the free subspace (r0 vanishes on Dirichlet rows,
             # so CG iterates stay there and the row-masked operator is
             # symmetric on the Krylov space): CG instead of FGMRES -- no
@@ -1296,7 +1373,6 @@ class NavierStokesSolver:
             # BSR divergence: D u* is ~1-2 ms, so the aux-gather reuse
             # (accumulating the Krylov applies' element gathers into du_e)
             # no longer pays -- plain FGMRES, no Zaux basis.
-            du_e = None
             du, info_f = fgmres(
                 Fop,
                 r0,
@@ -1311,8 +1387,7 @@ class NavierStokesSolver:
         # ---- 2. pressure Poisson in the assembled Schur space ----------
         # M du/dt_eff + G phi = 0 and D(u* + du) = 0 with G = -D^T give
         # S~ phi = -D u* with S~ = D diag(M/dt_eff)^-1 D^T.
-        if (explicit or op.dbsr is not None or dev.kbsr is not None
-                or dev.macro is not None):
+        if du_e is None:
             rhs_p = -ops.apply_divergence(op, u_star)
         else:
             # u*'s element view for free: u0_e from the stacked step gather,
@@ -1429,6 +1504,7 @@ class NavierStokesSolver:
             conv_prev=(
                 n_cur if explicit and state.conv_prev is not None else None
             ),
+            fpool=fpool_new,
         )
         info = type(info_f)(
             iters=info_f.iters + info_s.iters,

@@ -265,6 +265,145 @@ def fgmres(
 
 
 # ----------------------------------------------------------------------
+# Recycled-block GCR (wide-payload Krylov for row-rate-bound applies)
+# ----------------------------------------------------------------------
+def gcr_recycled(
+    A_block: Callable,
+    b: jax.Array,
+    M: Callable,
+    pool: jax.Array,
+    *,
+    rtol: float = 1e-6,
+    atol: float = 0.0,
+    tol_mode: str = "r0",
+    max_narrow: int = 8,
+    precise: bool = True,
+):
+    """Solve A x = b by least-squares over recycled + fresh directions.
+
+    Exploits a measured property of this backend: the matrix-free apply is
+    ROW-rate bound (gather + reduce), so applying A to a [n, K] block of
+    vectors costs barely more than to one vector.  Round 1 therefore
+    applies A to the whole block [M b, pool_0, ..] in ONE wide apply and
+    takes the least-squares-optimal combination; subsequent narrow rounds
+    add one fresh direction M r each (classic GCR, re-solving the small
+    LS each round).  With a pool recycled from the previous TIME STEP of
+    a warm-started solver, the wide round replaces most of the sequential
+    FGMRES iterations (the operator drifts slowly between steps, so last
+    step's preconditioned Krylov directions still span most of the new
+    increment).
+
+    Exactness: every direction is applied with the CURRENT operator and
+    the residual is re-formed from the big vectors every round (no
+    recurrence), so the converged x satisfies ||b - A x|| <= tol in true
+    arithmetic -- unlike recycling schemes that project onto the
+    *previous* operator's images.  The small LS solves are incremental
+    against the exact residual (iterative-refinement structure), so plain
+    f32 Gram solves suffice for 1e-6 relative targets.
+
+    `A_block` maps [n, K] -> [n, K] (columns independent); `M` likewise.
+    `pool` is [k, n] (zero rows are ignored via the norm guard).  Returns
+    (x, SolveInfo, D) with D [1 + k + max_narrow, n] the direction rows
+    actually used (callers harvest the fresh rows as next step's pool):
+    row 0 = M b, rows 1..k = pool, rows k+1.. = narrow-round directions.
+    SolveInfo.iters counts OPERATOR APPLY COLUMNS that a sequential solver
+    would have paid (narrow rounds done + 1 for the fused wide round), so
+    iteration telemetry stays comparable with fgmres.
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    k = pool.shape[0]
+    K = 1 + k + max_narrow
+
+    ref_norm = _norm(b, precise)
+    if tol_mode == "abs":
+        ref_norm = jnp.asarray(1.0, dtype)
+    tol = jnp.maximum(rtol * ref_norm, atol).astype(dtype)
+
+    # ---- round 1: one wide apply over [M b, pool] --------------------
+    D = jnp.zeros((K, n), dtype)
+    W = jnp.zeros((K, n), dtype)
+    D0 = jnp.concatenate([M(b[:, None]).T, pool], axis=0)
+    W0 = A_block(D0.T).T  # [1 + k, n]
+    # Gram + projections in one matmul: [W0; b] [W0; b]^T.
+    S0 = jnp.concatenate([W0, b[None, :]], axis=0)
+    G0 = _matvec_dots(S0, S0.T, precise)  # [k+2, k+2]
+    wnorm = jnp.sqrt(jnp.clip(jnp.diagonal(G0)[: 1 + k], 0.0, None))
+    scale0 = jnp.where(wnorm > 0, 1.0 / wnorm, 0.0)
+    D = D.at[: 1 + k].set(D0 * scale0[:, None])
+    W = W.at[: 1 + k].set(W0 * scale0[:, None])
+
+    # Normalised Gram (unit diagonal on live rows) + ridge: near-duplicate
+    # or zero pool rows stay harmless.
+    def _solve_small(G, h, active):
+        # Rows are normalised (unit diagonal when live), so a small ridge
+        # bounds the condition number; dead/inactive rows become identity
+        # rows with zero rhs -> exactly zero coefficients.
+        ridge = jnp.asarray(1e-5, G.dtype)
+        mask2 = active[:, None] & active[None, :]
+        Gm = jnp.where(
+            jnp.eye(K, dtype=bool),
+            jnp.where(active, jnp.diagonal(G) + ridge, 1.0),
+            jnp.where(mask2, G, 0.0),
+        )
+        hm = jnp.where(active, h, 0.0)
+        return jnp.linalg.solve(Gm, hm)
+
+    act0 = jnp.arange(K) < 1 + k
+    Gfull = jnp.zeros((K, K), dtype)
+    Gn0 = G0[: 1 + k, : 1 + k] * scale0[:, None] * scale0[None, :]
+    Gfull = Gfull.at[: 1 + k, : 1 + k].set(Gn0)
+    h0 = jnp.zeros(K, dtype).at[: 1 + k].set(G0[: 1 + k, 1 + k] * scale0)
+    c0 = _solve_small(Gfull, h0, act0)
+    r = b - W.T @ c0
+    # One refinement pass against the exact residual: the ridge caps a
+    # single solve's reduction at ~ridge, which matters exactly when the
+    # recycled pool is good enough to finish in the wide round (3 cheap
+    # fixed-cost ops, no operator applies).
+    h1 = _matvec_dots(W, r, precise)
+    d1 = _solve_small(Gfull, h1, act0)
+    c0 = c0 + d1
+    r = r - W.T @ d1
+    res = _norm(r, precise)
+
+    def cond(carry):
+        D, W, G, c, r, res, j = carry
+        return (res > tol) & (j < max_narrow)
+
+    def body(carry):
+        D, W, G, c, r, res, j = carry
+        i = 1 + k + j
+        d = M(r[:, None]).reshape(n)
+        w = A_block(d[:, None]).reshape(n)
+        # One matmul: all of (W.w, b?.w, w.w) and (W.r, w.r) together.
+        lhs = jnp.concatenate([W, w[None, :]], axis=0)  # [K+1, n]
+        rhs = jnp.stack([w, r], axis=1)  # [n, 2]
+        T = _matvec_dots(lhs, rhs, precise)  # [K+1, 2]
+        wn = jnp.sqrt(jnp.clip(T[K, 0], 0.0, None))
+        s = jnp.where(wn > 0, 1.0 / wn, 0.0)
+        D = D.at[i].set(d * s)
+        W = W.at[i].set(w * s)
+        gcol = (T[:K, 0] * s).at[i].set(jnp.where(wn > 0, 1.0, 0.0))
+        G = G.at[:, i].set(gcol).at[i, :].set(gcol)
+        # Incremental LS against the EXACT residual r: delta = argmin
+        # ||r - W delta|| -- refinement structure keeps f32 Gram solves
+        # accurate over rounds.
+        hr = (T[:K, 1]).at[i].set(T[K, 1] * s)
+        active = jnp.arange(K) <= i
+        delta = _solve_small(G, hr, active)
+        c = c + delta
+        r = r - W.T @ delta
+        return D, W, G, c, r, _norm(r, precise), j + 1
+
+    D, W, Gfull, c, r, res, j = jax.lax.while_loop(
+        cond, body, (D, W, Gfull, c0, r, res, jnp.array(0, jnp.int32))
+    )
+    x = D.T @ c
+    info = SolveInfo(iters=1 + j, residual=res)
+    return x, info, D
+
+
+# ----------------------------------------------------------------------
 # CG (SPD systems)
 # ----------------------------------------------------------------------
 def cg(

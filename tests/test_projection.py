@@ -325,3 +325,38 @@ def test_grad_apply_ell_matches_element():
         out[ga] = (np.asarray(state.u), np.asarray(state.p))
     np.testing.assert_allclose(out["ell"][0], out["element"][0], atol=1e-9)
     np.testing.assert_allclose(out["ell"][1], out["element"][1], atol=1e-8)
+
+
+def test_f_recycle_matches_fgmres_path():
+    """f_recycle>0 swaps the velocity FGMRES for the recycled-block GCR
+    (solvers/krylov.py gcr_recycled) -- SAME operator, same tolerance, so
+    the converged trajectory must match to solver tolerance."""
+    import dataclasses
+
+    mesh = cylinder_channel_2d(lc=0.1)
+    out = {}
+    for k in (0, 4):
+        cfg = make_config("projection", dt=0.01, t_end=0.05, rtol=1e-10)
+        cfg = dataclasses.replace(
+            cfg,
+            precond=dataclasses.replace(
+                cfg.precond, f_iters=0, f_recycle=k
+            ),
+        )
+        solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, diags = solver.run(5)
+        out[k] = (state, diags)
+    st0, d0 = out[0]
+    st1, d1 = out[4]
+    np.testing.assert_allclose(
+        np.asarray(st1.u), np.asarray(st0.u), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.p), np.asarray(st0.p), rtol=1e-6, atol=1e-8
+    )
+    # the recycled pool must not inflate the Krylov work (its point is
+    # cutting the SEQUENTIAL apply count; telemetry counts narrow rounds
+    # + 1 for the wide round)
+    assert int(d1.iters_f.sum()) <= int(d0.iters_f.sum()) + 5
+    with pytest.raises(ValueError, match="f_recycle"):
+        PrecondConfig(f_recycle=4, f_iters=6)

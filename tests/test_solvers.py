@@ -149,3 +149,91 @@ def test_solvers_jittable():
     x, iters = solve(b)
     r = np.linalg.norm(np.asarray(b) - A @ np.asarray(x))
     assert r < 1e-6 * np.linalg.norm(np.asarray(b)) * 10
+
+
+# ----------------------------------------------------------------------
+# Recycled-block GCR
+# ----------------------------------------------------------------------
+def _gcr_system(n=90, seed=7):
+    """Diagonally dominant nonsymmetric system (an F-like operator:
+    mass-dominated + skew perturbation), Jacobi preconditioner."""
+    rng = np.random.default_rng(seed)
+    A = np.diag(np.linspace(2.0, 5.0, n)) + 0.15 * rng.normal(size=(n, n))
+    d = jnp.asarray(1.0 / np.diag(A))
+    Aj = jnp.asarray(A)
+    A_block = lambda V: Aj @ V  # noqa: E731
+    M = lambda V: d[:, None] * V  # noqa: E731
+    return A, A_block, M
+
+
+def test_gcr_recycled_zero_pool_converges():
+    from navierstokes_project_nm4pde_tpu.solvers import gcr_recycled
+
+    n = 90
+    A, A_block, M = _gcr_system(n)
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.normal(size=n))
+    pool = jnp.zeros((4, n))
+    x, info, D = gcr_recycled(
+        A_block, b, M, pool, rtol=1e-8, max_narrow=40
+    )
+    true_res = np.linalg.norm(A @ np.asarray(x) - np.asarray(b))
+    assert true_res <= 1.1e-8 * np.linalg.norm(np.asarray(b))
+    assert D.shape == (1 + 4 + 40, n)
+
+
+def test_gcr_recycled_pool_spans_solution():
+    """A pool containing the solution direction converges in the wide
+    round alone (iters == 1: zero narrow rounds + the fused wide round)."""
+    from navierstokes_project_nm4pde_tpu.solvers import gcr_recycled
+
+    n = 90
+    A, A_block, M = _gcr_system(n)
+    rng = np.random.default_rng(12)
+    xex = rng.normal(size=n)
+    b = jnp.asarray(A @ xex)
+    pool = jnp.zeros((3, n)).at[1].set(jnp.asarray(xex) * 3.7)
+    x, info, _ = gcr_recycled(
+        A_block, b, M, pool, rtol=1e-6, max_narrow=10
+    )
+    assert int(info.iters) == 1
+    np.testing.assert_allclose(np.asarray(x), xex, rtol=1e-5, atol=1e-6)
+
+
+def test_gcr_recycled_matches_fgmres_solution():
+    """Same system, same tolerance: gcr_recycled and fgmres agree to the
+    tolerance (both solve the SAME exact operator -- recycling must not
+    change what is being solved)."""
+    from navierstokes_project_nm4pde_tpu.solvers import gcr_recycled
+
+    n = 90
+    A, A_block, M = _gcr_system(n)
+    rng = np.random.default_rng(13)
+    b = jnp.asarray(rng.normal(size=n))
+    pool = jnp.asarray(rng.normal(size=(4, n)))  # arbitrary recycled dirs
+    x_g, info_g, _ = gcr_recycled(
+        A_block, b, M, pool, rtol=1e-9, max_narrow=40
+    )
+    x_f, _ = fgmres(
+        lambda v: A_block(v[:, None]).reshape(-1), b,
+        M=lambda v: M(v[:, None]).reshape(-1), rtol=1e-9, restart=40,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_g), np.asarray(x_f), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_gcr_recycled_abs_tolerance():
+    from navierstokes_project_nm4pde_tpu.solvers import gcr_recycled
+
+    n = 60
+    A, A_block, M = _gcr_system(n, seed=21)
+    rng = np.random.default_rng(22)
+    b = jnp.asarray(rng.normal(size=n))
+    target = 1e-7 * float(jnp.linalg.norm(b))
+    x, info, _ = gcr_recycled(
+        A_block, b, M, jnp.zeros((2, n)),
+        rtol=target, atol=target, tol_mode="abs", max_narrow=40,
+    )
+    true_res = np.linalg.norm(A @ np.asarray(x) - np.asarray(b))
+    assert true_res <= 1.5 * target
