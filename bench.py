@@ -140,6 +140,9 @@ def measure():
             f_recycle=int(
                 os.environ.get("NS_BENCH_RECYCLE", "0")
             ) if f_iters == 0 else 0,
+            # Frozen-Schur CG projection warm start: the recycled images
+            # stay exact (S1 is setup-frozen), so this costs no S applies.
+            s_recycle=int(os.environ.get("NS_BENCH_SRECYCLE", "0")),
             # Skip the per-step diag(C) tabulation (a full row-rate-bound
             # scalar reduce feeding only the Jacobi diagonal, whose
             # convection part is near zero in the skew-symmetrised form).

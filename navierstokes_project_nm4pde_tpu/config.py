@@ -106,6 +106,13 @@ class PrecondConfig:
     # against the exact residual (solvers/krylov.py gcr_recycled).
     # Requires the plain-Jacobi velocity preconditioner (f_iters == 0).
     f_recycle: int = 0
+    # Projection stepper with the FROZEN Schur only: pool size k for the
+    # recycled-projection warm start of the pressure-Poisson CG.  S1 never
+    # changes after setup, so directions harvested from previous steps
+    # keep exact images W = S1 D and the least-squares projection costs
+    # ZERO extra S applies (solvers/krylov.py cg_recycled); each step
+    # harvests (dphi, S1 dphi) for free from the CG entry/exit residuals.
+    s_recycle: int = 0
 
     def __post_init__(self):
         if self.f_recycle > 0 and self.f_iters != 0:

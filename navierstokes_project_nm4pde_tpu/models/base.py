@@ -98,6 +98,11 @@ class State:
     # the previous step's GCR solve (solvers/krylov.py gcr_recycled).
     # Pure accelerator state: zeros are always valid (e.g. after resume).
     fpool: jax.Array | None = None
+    # Recycled projection space for the frozen-Schur pressure CG
+    # (cfg.precond.s_recycle > 0): [2, k, n_p] with [0] = directions and
+    # [1] = their EXACT S1 images (S1 is frozen at setup, so images stay
+    # valid across steps).  Zeros are always valid.
+    spool: jax.Array | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -884,6 +889,17 @@ class NavierStokesSolver:
                 )
                 else None
             ),
+            spool=(
+                jnp.zeros(
+                    (2, self.config.precond.s_recycle, self.space.n_pnodes),
+                    self.dtype,
+                )
+                if (
+                    self.config.precond.s_recycle > 0
+                    and self.config.time.stepper == "projection"
+                )
+                else None
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -1475,16 +1491,45 @@ class NavierStokesSolver:
             )
         # warm start: the previous pressure increment (phi_n ~ p_n - p_{n-1})
         phi0 = p_guess - state.p
-        phi, info_s = cg(
-            S,
-            rhs_p,
-            M=M2,
-            x0=phi0,
-            rtol=s_rtol,
-            atol=s_atol,
-            maxiter=cfg.solver.maxiter,
-            precise=cfg.numerics.precise_dots,
-        )
+        spool_new = state.spool
+        if (
+            cfg.precond.s_recycle > 0
+            and fz is not None
+            and state.spool is not None
+        ):
+            from navierstokes_project_nm4pde_tpu.solvers.krylov import (
+                cg_recycled,
+            )
+
+            # S1 is frozen, so the recycled images state.spool[1] are
+            # exact -- the projection warm start costs no S applies.
+            phi, info_s, sh = cg_recycled(
+                S,
+                rhs_p,
+                M2,
+                phi0,
+                state.spool[0],
+                state.spool[1],
+                rtol=s_rtol,
+                atol=s_atol,
+                maxiter=cfg.solver.maxiter,
+                precise=cfg.numerics.precise_dots,
+            )
+            # FIFO harvest: this step's (dphi, S1 dphi) replaces the oldest
+            spool_new = jnp.concatenate(
+                [sh[:, None, :], state.spool[:, :-1]], axis=1
+            )
+        else:
+            phi, info_s = cg(
+                S,
+                rhs_p,
+                M=M2,
+                x0=phi0,
+                rtol=s_rtol,
+                atol=s_atol,
+                maxiter=cfg.solver.maxiter,
+                precise=cfg.numerics.precise_dots,
+            )
 
         # ---- 3. update --------------------------------------------------
         # du = -dt_eff diag(M)^-1 G phi = -upd_inv * (G phi) on free nodes
@@ -1505,6 +1550,7 @@ class NavierStokesSolver:
                 n_cur if explicit and state.conv_prev is not None else None
             ),
             fpool=fpool_new,
+            spool=spool_new,
         )
         info = type(info_f)(
             iters=info_f.iters + info_s.iters,

@@ -461,6 +461,100 @@ def cg(
 
 
 # ----------------------------------------------------------------------
+# CG with a recycled projection space (FROZEN operators only)
+# ----------------------------------------------------------------------
+def cg_recycled(
+    A: Callable,
+    b: jax.Array,
+    M: Callable | None,
+    x0: jax.Array | None,
+    poolD: jax.Array,
+    poolW: jax.Array,
+    *,
+    rtol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    precise: bool = True,
+):
+    """Preconditioned CG warm-started by a least-squares projection onto a
+    recycled subspace whose A-images are carried along.
+
+    VALID ONLY when A is literally the same operator that produced
+    `poolW = A poolD` (the projection stepper's frozen Schur S1 never
+    changes after setup, so directions harvested from previous time steps
+    keep exact images -- the wide projection costs ZERO operator applies,
+    unlike gcr_recycled's wide round).  Returns (x, SolveInfo, harvest)
+    with harvest = [x - x0_in, r0_in - r_final] stacked [2, n]: the next
+    pool's (d, A d) row, both sides free (the image side carries the CG
+    recurrence's fp drift, ~1e-7 relative -- an order below the 1e-6
+    solve targets, and each step harvests fresh so it cannot accumulate).
+
+    `poolD`/`poolW` are [k, n]; zero rows are ignored via the norm guard.
+    """
+    if M is None:
+        M = lambda v: v  # noqa: E731
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r = b
+    else:
+        r = b - A(x0)
+    x0_in, r_in = x0, r
+    k, n = poolD.shape
+    dtype = b.dtype
+
+    # Projection: c = argmin ||r - poolW^T c||, x += poolD^T c.  Gram +
+    # rhs in one matmul; one refinement pass against the exact residual
+    # (f32 Gram solves; see gcr_recycled).
+    S = jnp.concatenate([poolW, r[None, :]], axis=0)
+    G = _matvec_dots(S, S.T, precise)  # [k+1, k+1]
+    wn = jnp.sqrt(jnp.clip(jnp.diagonal(G)[:k], 0.0, None))
+    sc = jnp.where(wn > 0, 1.0 / wn, 0.0)
+    Gn = G[:k, :k] * sc[:, None] * sc[None, :]
+    ridge = jnp.asarray(1e-5, dtype)
+    Gn = Gn + ridge * jnp.eye(k, dtype=dtype)
+    Gn = jnp.where(
+        jnp.eye(k, dtype=bool) & (wn == 0)[:, None], 1.0, Gn
+    )
+    h = G[:k, k] * sc
+    c = jnp.linalg.solve(Gn, h)
+    x = x0 + (poolD * sc[:, None]).T @ c
+    r = r - (poolW * sc[:, None]).T @ c
+    h2 = _matvec_dots(poolW * sc[:, None], r, precise)
+    c2 = jnp.linalg.solve(Gn, h2)
+    x = x + (poolD * sc[:, None]).T @ c2
+    r = r - (poolW * sc[:, None]).T @ c2
+
+    z = M(r)
+    p = z
+    rz, rr = _dot2(z, r, precise)
+    res = jnp.sqrt(rr)
+    b_norm = _norm(b, precise)
+    tol = jnp.maximum(rtol * b_norm, atol)
+
+    def cond(carry):
+        x, r, p, rz, res, j = carry
+        return (res > tol) & (j < maxiter)
+
+    def body(carry):
+        x, r, p, rz, res, j = carry
+        Ap = A(p)
+        alpha = rz / _dot(p, Ap, precise)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new, rr = _dot2(z, r, precise)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, p, rz_new, jnp.sqrt(rr), j + 1
+
+    x, r, p, rz, res, j = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, res, jnp.array(0, jnp.int32))
+    )
+    harvest = jnp.stack([x - x0_in, r_in - r])
+    return x, SolveInfo(iters=j, residual=res), harvest
+
+
+# ----------------------------------------------------------------------
 # Fixed-iteration inner solvers (for the block preconditioners)
 # ----------------------------------------------------------------------
 def cg_fixed(A: Callable, b: jax.Array, M: Callable, iters: int, precise: bool = False):

@@ -56,6 +56,9 @@ def main():
             precond=PrecondConfig(
                 kind="yosida", f_iters=0, s_iters=3, s_solver="mg2_cg",
                 freeze_conv_diag=True, mg2_form="additive", f_recycle=k,
+                s_recycle=(
+                    int(os.environ.get("NS_SRECYCLE", "0")) if k else 0
+                ),
             ),
             numerics=NumericsConfig(
                 dtype="float32", precise_dots=False, steps_per_chunk=chunk,

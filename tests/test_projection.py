@@ -360,3 +360,34 @@ def test_f_recycle_matches_fgmres_path():
     assert int(d1.iters_f.sum()) <= int(d0.iters_f.sum()) + 5
     with pytest.raises(ValueError, match="f_recycle"):
         PrecondConfig(f_recycle=4, f_iters=6)
+
+
+def test_s_recycle_matches_plain_cg():
+    """s_recycle>0 adds a zero-extra-apply projection warm start to the
+    frozen-Schur pressure CG (exact recycled images) -- the trajectory
+    must match the plain-CG run to solver tolerance with fewer or equal
+    S iterations."""
+    import dataclasses
+
+    mesh = cylinder_channel_2d(lc=0.1)
+    out = {}
+    for k in (0, 4):
+        cfg = make_config("projection", dt=0.01, t_end=0.05, rtol=1e-10)
+        cfg = dataclasses.replace(
+            cfg,
+            precond=dataclasses.replace(
+                cfg.precond, f_iters=0, s_recycle=k
+            ),
+        )
+        solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, diags = solver.run(5)
+        out[k] = (state, diags)
+    st0, d0 = out[0]
+    st1, d1 = out[4]
+    np.testing.assert_allclose(
+        np.asarray(st1.u), np.asarray(st0.u), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.p), np.asarray(st0.p), rtol=1e-6, atol=1e-8
+    )
+    assert int(d1.iters_s.sum()) <= int(d0.iters_s.sum())
