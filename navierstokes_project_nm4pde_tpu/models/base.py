@@ -903,6 +903,34 @@ class NavierStokesSolver:
         )
 
     # ------------------------------------------------------------------
+    def _ensure_pools(self, state: State) -> State:
+        """Fill missing recycle pools on an externally supplied state.
+
+        A checkpoint written before f_recycle/s_recycle existed (or by a
+        run with them off) has no pool arrays; the step's recycle guard
+        requires `state.fpool/spool is not None`, so resuming such a
+        checkpoint with recycling enabled would silently disable it for
+        the whole run (advisor finding, round 4).  Zero pools are always
+        valid (initial_state's contract: the solvers' norm guards ignore
+        zero rows)."""
+        import dataclasses as _dc
+
+        cfg = self.config
+        if cfg.time.stepper != "projection":
+            return state
+        n, d = self.space.n_unodes, self.space.dim
+        upd = {}
+        if cfg.precond.f_recycle > 0 and state.fpool is None:
+            upd["fpool"] = jnp.zeros(
+                (cfg.precond.f_recycle, n * d), self.dtype
+            )
+        if cfg.precond.s_recycle > 0 and state.spool is None:
+            upd["spool"] = jnp.zeros(
+                (2, cfg.precond.s_recycle, self.space.n_pnodes), self.dtype
+            )
+        return _dc.replace(state, **upd) if upd else state
+
+    # ------------------------------------------------------------------
     def _dirichlet_values(self, t, dev: DeviceData) -> jax.Array:
         """Full [n_unodes, dim] array with g(x, t) on constrained nodes.
 
@@ -1339,10 +1367,13 @@ class NavierStokesSolver:
                 r0,
                 M_block,
                 state.fpool,
-                # headroom beyond the typical count (F spikes in the
-                # shedding window); each extra slot costs two [n*dim]
-                # buffer rows, so don't mirror maxiter outright
-                max_narrow=min(cfg.solver.maxiter, 2 * cfg.solver.restart),
+                # Full maxiter headroom, same convergence guarantee as the
+                # fgmres path it replaces: capping below maxiter made an
+                # F-iteration spike (impulsive start, shedding window) exit
+                # silently under-converged (advisor finding, round 4).
+                # Cost: two [n*dim] buffer rows per slot (~1.5 GB at 965k,
+                # maxiter=60) -- f_recycle is an opt-in mode.
+                max_narrow=cfg.solver.maxiter,
                 precise=cfg.numerics.precise_dots,
                 **tol_kw,
             )
@@ -1632,6 +1663,8 @@ class NavierStokesSolver:
         """
         if state is None:
             state = self.initial_state()
+        else:
+            state = self._ensure_pools(state)
         if n_steps <= 0:
             # e.g. resuming a finished checkpoint: nothing to do.
             empty = np.zeros(0, dtype=np.float64)

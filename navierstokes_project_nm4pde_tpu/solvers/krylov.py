@@ -484,10 +484,16 @@ def cg_recycled(
     changes after setup, so directions harvested from previous time steps
     keep exact images -- the wide projection costs ZERO operator applies,
     unlike gcr_recycled's wide round).  Returns (x, SolveInfo, harvest)
-    with harvest = [x - x0_in, r0_in - r_final] stacked [2, n]: the next
-    pool's (d, A d) row, both sides free (the image side carries the CG
-    recurrence's fp drift, ~1e-7 relative -- an order below the 1e-6
-    solve targets, and each step harvests fresh so it cannot accumulate).
+    with harvest = [x - x_proj, r_proj - r_final] stacked [2, n]: the next
+    pool's (d, A d) row, both sides free.  The harvest spans ONLY the
+    post-projection CG increment: its image comes purely from this step's
+    recurrence (fp drift ~1e-7 relative, an order below the 1e-6 solve
+    targets).  Harvesting the full x - x0 would fold in the projection
+    part, whose image was reconstructed from the PREVIOUS pool's inexact
+    images -- that error propagates transitively through harvests and can
+    random-walk above the recurrence drift over long runs (advisor
+    finding, round 4); the projection part lies in the old pool's span
+    anyway, so excluding it loses no new subspace information.
 
     `poolD`/`poolW` are [k, n]; zero rows are ignored via the norm guard.
     """
@@ -498,7 +504,6 @@ def cg_recycled(
         r = b
     else:
         r = b - A(x0)
-    x0_in, r_in = x0, r
     k, n = poolD.shape
     dtype = b.dtype
 
@@ -523,6 +528,7 @@ def cg_recycled(
     c2 = jnp.linalg.solve(Gn, h2)
     x = x + (poolD * sc[:, None]).T @ c2
     r = r - (poolW * sc[:, None]).T @ c2
+    x_proj, r_proj = x, r  # harvest baseline: this step's CG increment only
 
     z = M(r)
     p = z
@@ -550,7 +556,7 @@ def cg_recycled(
     x, r, p, rz, res, j = jax.lax.while_loop(
         cond, body, (x, r, p, rz, res, jnp.array(0, jnp.int32))
     )
-    harvest = jnp.stack([x - x0_in, r_in - r])
+    harvest = jnp.stack([x - x_proj, r_proj - r])
     return x, SolveInfo(iters=j, residual=res), harvest
 
 
