@@ -181,6 +181,67 @@ def build_macro_values(
     )
 
 
+def _split3_bf16(F: jax.Array):
+    """3-way bf16 split of an f32 array: F ~= hi + mid + lo with each part
+    exactly representable in bfloat16 (8+8+8 mantissa bits cover f32's 24
+    up to alignment tails ~1e-8 relative).  Lets matmuls against an
+    EXACT-bf16 operand (the one-hot tables) run in 3 native MXU passes
+    instead of HIGHEST's 6-pass emulation, with the same error class
+    (products exact, sums in f32).
+
+    MUST use lax.reduce_precision, not astype round-trips: this backend
+    pins --xla_allow_excess_precision=true, under which XLA elides
+    f32->bf16->f32 cast pairs -- the astype form silently degenerates to
+    (hi=F, mid=lo=0), i.e. a plain bf16 truncation of the operand
+    (measured rel err 1.7e-3, the known stepper-destabilising class)."""
+    hi = jax.lax.reduce_precision(F, 8, 7)
+    r1 = F - hi
+    mid = jax.lax.reduce_precision(r1, 8, 7)
+    lo = jax.lax.reduce_precision(r1 - mid, 8, 7)
+    return (
+        hi.astype(jnp.bfloat16),
+        mid.astype(jnp.bfloat16),
+        lo.astype(jnp.bfloat16),
+    )
+
+
+def build_macro_values_split3(
+    mp: MacroPlan, F_e: jax.Array, layout: str = "uv"
+) -> jax.Array:
+    """Exact-split build: same values as build_macro_values (to f32
+    summation order), ~half the HBM traffic.
+
+    The HIGHEST build is bandwidth-bound on the 6-pass bf16x6 emulation
+    re-streaming both GEMM operands per pass.  Here the F_e side is split
+    into three exactly-bf16 parts (hi/mid/lo covering the f32 mantissa);
+    stage 1 places each part against the exact-bf16 one-hot (every output
+    is a SINGLE split value -- exact in bf16), stage 2 contracts the bf16
+    pair at native MXU rate accumulating f32.  Summing the three f32
+    partials reconstructs the HIGHEST-precision result (equality-tested in
+    tests/test_macro.py)."""
+    B, c, U = mp.B, mp.c_blk, mp.U
+    nloc = F_e.shape[1]
+    pad = B * c - F_e.shape[0]
+    F_ep = jnp.concatenate(
+        [F_e, jnp.zeros((pad, nloc, nloc), F_e.dtype)], axis=0
+    ).reshape(B, c, nloc, nloc)
+    P = mp.onehot  # bf16, exact
+    out = "bvu" if layout == "vu" else "buv"
+    acc = None
+    for Fk in _split3_bf16(F_ep):
+        # stage 1: exact placement -- each output is one split value, so
+        # the bf16 result is exact; accumulate type only guards the sum
+        # of the (disjoint) one-hot terms.
+        Ak = jnp.einsum(
+            "bciu,bcij->bcju", P, Fk, preferred_element_type=jnp.bfloat16
+        )
+        part = jnp.einsum(
+            "bcju,bcjv->" + out, Ak, P, preferred_element_type=jnp.float32
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _mv_kernel(ftT_ref, ub_ref, out_ref, *, nb, C):
     """Per-grid-step block matvec on the VPU (no MXU, no precision
     emulation): out[i, c, :] = sum_v ftT[i, v, :] * ub[i, v, c].
@@ -223,19 +284,64 @@ def apply_macro_t(mp: MacroPlan, FtT: jax.Array, u: jax.Array) -> jax.Array:
     """y = F u via the TRANSPOSED block values (layout="vu") and the VPU
     matvec kernel: [n, C] -> [n, C].  Exactly the same summation values
     as apply_macro -- only the matvec engine differs."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+    C = u.shape[1]
+    u_b = slot_gather(mp, u)  # [B, V, C]
+    y_b = macro_matvec_vpu(FtT, u_b)
+    return apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, C))
+
+
+def slot_gather(mp: MacroPlan, x: jax.Array) -> jax.Array:
+    """[n, C] -> [B, U, C] block-slot view (windowed when available)."""
     from navierstokes_project_nm4pde_tpu.ops.scatter import (
-        apply_gather_plan,
         apply_windowed_gather,
     )
 
-    C = u.shape[1]
     if mp.wgather is not None:
-        u_b = apply_windowed_gather(mp.wgather, u)  # [B, V, C]
-    else:
-        xb = jnp.concatenate([u, jnp.zeros((1, C), u.dtype)], axis=0)
-        u_b = xb[mp.uidx]
-    y_b = macro_matvec_vpu(FtT, u_b)
-    return apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, C))
+        return apply_windowed_gather(mp.wgather, x)
+    xb = jnp.concatenate(
+        [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0
+    )
+    return xb[mp.uidx]
+
+
+def apply_rhs_and_r0_macro(
+    mp: MacroPlan, Mt: jax.Array, Ft: jax.Array, hist: jax.Array,
+    u0: jax.Array,
+):
+    """(M hist, F u0) in ONE slot gather + ONE dual-channel reduce.
+
+    The macro counterpart of ops.apply_rhs_and_r0's element pass (the
+    projection momentum rhs b = M hist - G p and warm-start residual
+    r0 = b - F u0; the G p term and Dirichlet masking stay at the call
+    site): the per-step macro values Ft already encode F exactly and `Mt`
+    is the setup-time macro form of the constant velocity mass, so both
+    products ride the SAME beta*n-row slot gather and node reduce -- both
+    row-rate-bound phases are paid once for the two operators, and the
+    element pass (gather + quadrature contractions + reduce over 2.2M
+    slot rows) is retired.  Exactly M hist / F u0 up to summation order
+    (equality-tested in tests/test_macro.py).
+    Ref: the rhs rebuild in src/NavierStokes2D.cpp:414-488."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+    d = hist.shape[1]
+    x_b = slot_gather(mp, jnp.concatenate([hist, u0], axis=1))
+    y_b = jnp.concatenate(
+        [
+            jnp.einsum(
+                "buv,bvc->buc", Mt, x_b[..., :d],
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+            jnp.einsum(
+                "buv,bvc->buc", Ft, x_b[..., d:],
+                precision=jax.lax.Precision.HIGHEST,
+            ),
+        ],
+        axis=-1,
+    )
+    y = apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, 2 * d))
+    return y[:, :d], y[:, d:]
 
 
 def apply_macro(mp: MacroPlan, Ft: jax.Array, u: jax.Array) -> jax.Array:
@@ -243,15 +349,7 @@ def apply_macro(mp: MacroPlan, Ft: jax.Array, u: jax.Array) -> jax.Array:
     from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
 
     C = u.shape[1]
-    if mp.wgather is not None:
-        from navierstokes_project_nm4pde_tpu.ops.scatter import (
-            apply_windowed_gather,
-        )
-
-        u_b = apply_windowed_gather(mp.wgather, u)  # [B, U, C]
-    else:
-        xb = jnp.concatenate([u, jnp.zeros((1, C), u.dtype)], axis=0)
-        u_b = xb[mp.uidx]  # [B, U, C] -- beta*n rows, not slot rows
+    u_b = slot_gather(mp, u)  # [B, U, C] -- beta*n rows, not slot rows
     # MXU batched matvec at HIGHEST precision (the validated bf16x6
     # emulation): measured 13.1 ms vs 15.5-16.9 for the channel-planar
     # VPU fold at 965k -- the VPU form re-streams the 712 MB value array

@@ -69,7 +69,7 @@ def timeit(f, x, *consts, reps=REPS):
 # 0. raw Mosaic dot rate
 # ----------------------------------------------------------------------
 def probe_mxu_rate():
-    N = 1024
+    N = 2048
 
     def kern(a_ref, b_ref, o_ref):
         o_ref[:] = jax.lax.dot_general(
@@ -92,7 +92,7 @@ def probe_mxu_rate():
     t2 = timeit(
         lambda x, y: jax.lax.dot_general(
             x, y, DN, preferred_element_type=jnp.float32
-        ),
+        ).astype(jnp.bfloat16),
         ab, ab, reps=100,
     )
     print(f"xla dot    [{N}^3] bf16   : {t2:6.3f} ms = "
@@ -169,6 +169,63 @@ def _kern_bd(p_ref, f_ref, o_ref, *, c, U, nb):
         o_ref[b] = acc
 
 
+# ----------------------------------------------------------------------
+# 3. fused kernels with bf16 MXU operands (full-rate dots)
+# ----------------------------------------------------------------------
+def _split3_b(F):
+    """Exact 3-way bf16 split (bf16 outputs -- full-rate MXU operands)."""
+    h = F.astype(jnp.bfloat16)
+    r1 = F - h.astype(jnp.float32)
+    m = r1.astype(jnp.bfloat16)
+    lo = (r1 - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, lo
+
+
+def _kern_cells16(p_ref, f_ref, o_ref, *, c, U, nb):
+    # Mosaic requires 32-bit matmul accumulators: stage-1 dots emit f32 and
+    # cast to bf16 (exact -- each output is a single placed split value).
+    for b in range(nb):
+        Pf = p_ref[b]  # [c*16, U] bf16
+        F = f_ref[b]  # [c*16, 16] f32
+        acc = jnp.zeros((U, U), jnp.float32)
+        for Fk in _split3_b(F):
+            rows = []
+            for cc in range(c):
+                Fc = Fk[cc * 16:(cc + 1) * 16, :]
+                Pc = Pf[cc * 16:(cc + 1) * 16, :]
+                rows.append(
+                    jax.lax.dot_general(
+                        Fc, Pc, DN, preferred_element_type=jnp.float32
+                    )
+                )  # [16(j), U] exact single values
+            A = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                A, Pf, DN, preferred_element_type=jnp.float32
+            )
+        o_ref[b] = acc
+
+
+def _kern_bd16(p_ref, f_ref, o_ref, *, c, U, nb):
+    n = c * 16
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // 16
+    cj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // 16
+    mask = (ci == cj).astype(jnp.bfloat16)
+    for b in range(nb):
+        Pf = p_ref[b]  # [n, U] bf16
+        F = f_ref[b]  # [n, 16] f32
+        acc = jnp.zeros((U, U), jnp.float32)
+        for Fk in _split3_b(F):
+            Fbd = jnp.concatenate([Fk] * c, axis=1) * mask  # [n, n] bf16
+            A = jax.lax.dot_general(
+                Fbd, Pf, DN, preferred_element_type=jnp.float32
+            )  # [n=(c,j), U] exact single values
+            acc = acc + jax.lax.dot_general(
+                A.astype(jnp.bfloat16), Pf, DN,
+                preferred_element_type=jnp.float32,
+            )
+        o_ref[b] = acc
+
+
 def run_fused(kern, P, Fp, B, c, U, nb=1):
     return pl.pallas_call(
         functools.partial(kern, c=c, U=U, nb=nb),
@@ -189,23 +246,13 @@ def main():
 
     probe_mxu_rate()
 
-    cache = f"/tmp/macro_apply_cache_{lc}_{nz}.npz"
+    from prof_macro_apply import load_or_build
+
     from navierstokes_project_nm4pde_tpu.ops.macroblock import (
         build_macro_plan,
     )
 
-    if os.path.exists(cache):
-        cells_u = np.load(cache)["cells_u"]
-        n_unodes = int(cells_u.max()) + 1
-    else:
-        from navierstokes_project_nm4pde_tpu.fem.space import FESpace
-        from navierstokes_project_nm4pde_tpu.mesh import cylinder_duct_3d
-
-        mesh = cylinder_duct_3d(lc=lc, nz=nz).reorder_spatial("rcm")
-        space = FESpace(mesh)
-        cells_u = np.asarray(space.cells_u)
-        n_unodes = space.n_unodes
-        np.savez(cache, cells_u=cells_u)
+    cells_u, n_unodes, _nv = load_or_build(lc, nz)
     t0 = time.time()
     mp = build_macro_plan(cells_u, n_unodes)
     B, c, U = mp.B, mp.c_blk, mp.U
@@ -219,13 +266,29 @@ def main():
     t_ref = timeit(lambda f, m: build_macro_values(m, f), F_e, mp)
     print(f"xla build HIGHEST       : {t_ref:7.2f} ms")
 
+    from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+        build_macro_values_split3,
+    )
+
+    out3 = jax.jit(build_macro_values_split3)(mp, F_e)
+    err3 = float(jnp.linalg.norm(out3 - ref) / jnp.linalg.norm(ref))
+    t3 = timeit(lambda f, m: build_macro_values_split3(m, f), F_e, mp)
+    print(f"xla build split3        : {t3:7.2f} ms  rel err {err3:.1e}")
+
     t_prep = timeit(
         lambda f, oh: prep(f, oh, B, c, U)[1][0, 0, 0], F_e, mp.onehot
     )
     print(f"input pad/flatten       : {t_prep:7.2f} ms")
 
     P, Fp = jax.jit(lambda f, oh: prep(f, oh, B, c, U))(F_e, mp.onehot)
-    for name, kern, nb in (("cells", _kern_cells, 1), ("bd", _kern_bd, 1)):
+    for name, kern, nb in (
+        ("cells", _kern_cells, 1),
+        ("bd", _kern_bd, 1),
+        ("cells16", _kern_cells16, 1),
+        ("bd16", _kern_bd16, 1),
+        ("cells16x4", _kern_cells16, 4),
+        ("bd16x4", _kern_bd16, 4),
+    ):
         try:
             out = jax.jit(
                 lambda Fp, P, k=kern, nb=nb: run_fused(k, P, Fp, B, c, U, nb)

@@ -61,6 +61,72 @@ def test_macro_apply_matches_apply_F():
     np.testing.assert_allclose(y_t, y_ref, rtol=1e-13, atol=1e-13)
 
 
+def test_macro_split3_build_matches_highest():
+    """The exact-bf16 3-split build reproduces the HIGHEST build to f32
+    summation-order tolerance (the one-hot operand is exact in bf16 and
+    each placed value splits exactly into hi/mid/lo bf16 parts)."""
+    from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+        build_macro_values_split3,
+    )
+
+    mesh = cylinder_duct_3d(lc=0.25, nz=3).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    mp = build_macro_plan(
+        np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=20,
+        n_vertices=mesh.n_vertices,
+    )
+    rng = np.random.default_rng(1)
+    E, nloc = space.cells_u.shape
+    F_e = jnp.asarray(
+        rng.normal(size=(E, nloc, nloc)) * 10.0 ** rng.uniform(
+            -3, 3, size=(E, 1, 1)
+        ),
+        jnp.float32,
+    )
+    ref = np.asarray(build_macro_values(mp, F_e), np.float64)
+    out = np.asarray(build_macro_values_split3(mp, F_e), np.float64)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-6 * scale)
+
+
+def test_macro_rhs_and_r0_matches_element_pass():
+    """(M hist, F u0) from the dual-channel macro pass equal the element
+    fused rhs/r0 pass (with p = 0 the element b is exactly M hist, and
+    b - r0 is exactly F u0)."""
+    from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+        apply_rhs_and_r0_macro,
+    )
+
+    mesh = cylinder_duct_3d(lc=0.25, nz=3).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0, 2, 4])
+    op = ops.build_operator(space, geom, np.asarray(mask), dtype=jnp.float64)
+    nu, dt = 1e-3, 2e-4
+    rng = np.random.default_rng(2)
+    hist = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    u0 = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    w = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    conv = ops.convection_setup(op, w, fold=(nu, dt))
+    p0 = jnp.zeros(space.n_pnodes, jnp.float64)
+    b_ref, r0_ref = ops.apply_rhs_and_r0(op, hist, p0, nu, dt, conv, u0)
+
+    mp = build_macro_plan(
+        np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=20,
+        n_vertices=mesh.n_vertices,
+    )
+    M_e = op.MHAT[None, :, :] * op.detJ[:, None, None]
+    Mt = build_macro_values(mp, M_e)
+    Ft = build_macro_values(mp, conv.F_e)
+    Mh, Fu0 = apply_rhs_and_r0_macro(mp, Mt, Ft, hist, u0)
+    np.testing.assert_allclose(
+        np.asarray(Mh), np.asarray(b_ref), rtol=1e-12, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(Fu0), np.asarray(b_ref - r0_ref), rtol=1e-11, atol=1e-12
+    )
+
+
 def _cfg(f_apply):
     return RunConfig(
         time=TimeConfig(dt=1e-3, t_end=1.0, stepper="projection"),
