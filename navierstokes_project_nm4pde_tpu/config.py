@@ -259,6 +259,20 @@ class NumericsConfig:
     # Cells per macro block (auto-shrinks until every block's unique
     # node count fits the 128-lane slot table).
     macro_cblk: int = 20
+    # Macro value assembly engine.  "highest": f32 operands under the
+    # 6-pass bf16 emulation (the validated round-4 form).  "split3":
+    # F_e split into three exactly-bf16 parts so both one-hot
+    # contractions run native-rate MXU passes -- same values to f32
+    # summation order (equality-tested), ~half the one-hot stream
+    # traffic.  "auto" follows the measured default.
+    macro_build: str = "auto"
+    # Momentum rhs + warm-start residual through the macro values
+    # (b = M hist - G p and r0 = b - F u0 from one slot gather, a
+    # dual-channel [Mt | Ft] matvec and one node reduce, plus the BSR
+    # gradient for G p) instead of the fused element pass.  "auto": on
+    # whenever the macro F apply is active; "off" keeps the element
+    # pass (A/B hook).
+    macro_rhs: str = "auto"
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

@@ -173,6 +173,11 @@ class DeviceData:
     # Krylov apply becomes a beta*n-row gather + batched dense matvec.
     # Single-device only; sharded/vmapped runs strip it.
     macro: "object | None" = None
+    # Setup-time macro form of the constant velocity mass M [B, U, U]
+    # (None unless the macro plan is active): rides the same slot gather
+    # and node reduce as the per-step F values in the dual-channel
+    # rhs/r0 pass (ops/macroblock.py apply_rhs_and_r0_macro).
+    macro_mass: "jax.Array | None" = None
 
 
 @jax.tree_util.register_dataclass
@@ -540,6 +545,7 @@ class NavierStokesSolver:
         # reorder (RCM/Morton cell locality bounds the per-block unique
         # node count).
         self._macro = None
+        self._macro_mass = None
         _fa = cfg.numerics.f_apply
         _macro_ok = (
             cfg.time.stepper == "projection"
@@ -547,6 +553,10 @@ class NavierStokesSolver:
             and cfg.numerics.fold_elem
             and cfg.numerics.spatial_reorder
             and self._kbsr is None
+            # The macro values encode only the volume terms of F_e; the
+            # backflow facet term would be silently dropped from the
+            # Krylov operator.
+            and self.problem.backflow_tag is None
         )
         if _fa == "auto":
             _fa = "macro" if _macro_ok else "element"
@@ -565,6 +575,18 @@ class NavierStokesSolver:
                 U=128, c_blk=cfg.numerics.macro_cblk,
                 n_vertices=self.mesh.n_vertices,
             )
+            if cfg.numerics.macro_rhs != "off":
+                from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+                    build_macro_values,
+                )
+
+                M_e = (
+                    self.op.MHAT[None, :, :]
+                    * self.op.detJ[:, None, None]
+                )
+                self._macro_mass = jax.jit(build_macro_values)(
+                    self._macro, M_e
+                )
             _mark("macro-element block plan")
         elif _fa != "element":
             raise ValueError(f"unknown f_apply: {cfg.numerics.f_apply}")
@@ -838,6 +860,7 @@ class NavierStokesSolver:
             imex=getattr(self, "_imex", None),
             kbsr=getattr(self, "_kbsr", None),
             macro=getattr(self, "_macro", None),
+            macro_mass=getattr(self, "_macro_mass", None),
         )
 
     # ------------------------------------------------------------------
@@ -1205,11 +1228,26 @@ class NavierStokesSolver:
                 )
             else:
                 conv_rhs = n_cur
-        else:
+        use_macro_rhs = (
+            not explicit
+            and dev.macro is not None
+            and dev.macro_mass is not None
+            and cfg.numerics.macro_rhs != "off"
+        )
+        if not explicit:
             fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
-            stacked = jnp.concatenate([hist, u0, w], axis=1)  # [n, 3d]
-            st_e = ops.gather_u(op, stacked)  # [E, n_loc, 3d]
-            h_e, u0_e, w_e = st_e[..., :d], st_e[..., d:2 * d], st_e[..., 2 * d:]
+            if use_macro_rhs:
+                # hist/u0 ride the macro pass's SLOT gather (beta*n
+                # rows); only the convection velocity needs the element
+                # view (gathers are row-rate bound, so the narrower
+                # payload costs the same as the 3d-wide stack).
+                w_e = ops.gather_u(op, w)
+            else:
+                stacked = jnp.concatenate([hist, u0, w], axis=1)  # [n, 3d]
+                st_e = ops.gather_u(op, stacked)  # [E, n_loc, 3d]
+                h_e, u0_e, w_e = (
+                    st_e[..., :d], st_e[..., d:2 * d], st_e[..., 2 * d:]
+                )
             conv = ops.convection_setup(
                 op, w, backflow=dev.backflow, fold=fold, w_e=w_e,
                 with_diag=not cfg.precond.freeze_conv_diag,
@@ -1222,6 +1260,18 @@ class NavierStokesSolver:
             f_lam=dev.f_lam0, skip_schur=fz is not None,
         )
 
+        # Per-step macro values, built ONCE for the rhs/r0 pass and every
+        # Krylov apply below (engine per cfg.numerics.macro_build).
+        Ft_macro = None
+        if dev.macro is not None and conv is not None and conv.F_e is not None:
+            from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+                macro_build_fn,
+            )
+
+            Ft_macro = macro_build_fn(cfg.numerics.macro_build)(
+                dev.macro, conv.F_e
+            )
+
         # ---- 1. tentative velocity ------------------------------------
         # b = M h - G p_n and the warm-start residual r0 = b - F u0 in ONE
         # fused element pass + ONE dual-channel reduction (the reduce is
@@ -1229,10 +1279,29 @@ class NavierStokesSolver:
         # were the two largest fixed costs of the step).  Under IMEX the
         # explicit cells' convection rhs -(1-s) N(w) fuses into the same
         # pass (w_e is already gathered).
-        b_u, r0_u = ops.apply_rhs_and_r0(
-            op, hist, state.p, nu, dt_eff, conv, u0, h_e=h_e, u0_e=u0_e,
-            w_e=(w_e if (not explicit and op.imex_scale is not None) else None),
-        )
+        if use_macro_rhs and Ft_macro is not None:
+            # Macro form: (M hist, F u0) share one slot gather + one
+            # dual-channel node reduce against [Mt | Ft]; the G p term
+            # comes from the assembled gradient (BSR when enabled).
+            # Same values as the element pass to summation order.
+            from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+                apply_rhs_and_r0_macro,
+            )
+
+            Mh, Fu0 = apply_rhs_and_r0_macro(
+                dev.macro, dev.macro_mass, Ft_macro, hist, u0
+            )
+            b_u = Mh - ops.apply_gradient(op, state.p)
+            r0_u = b_u - Fu0
+        else:
+            b_u, r0_u = ops.apply_rhs_and_r0(
+                op, hist, state.p, nu, dt_eff, conv, u0, h_e=h_e, u0_e=u0_e,
+                w_e=(
+                    w_e
+                    if (not explicit and op.imex_scale is not None)
+                    else None
+                ),
+            )
         if explicit:
             b_u = b_u - conv_rhs
             r0_u = r0_u - conv_rhs
@@ -1272,19 +1341,16 @@ class NavierStokesSolver:
                     y = y + ops.apply_convection_fine(op, dev.imex, C_ef, u)
                 return jnp.where(mask[:, None], u, y).reshape(-1)
 
-        elif dev.macro is not None and conv is not None and conv.F_e is not None:
+        elif Ft_macro is not None:
             from navierstokes_project_nm4pde_tpu.ops.macroblock import (
                 apply_macro,
-                build_macro_values,
             )
 
-            # Macro-element fast path: assemble the per-step folded F_e
-            # into block-dense [U, U] operators ONCE (one-hot MXU
-            # contractions, no scatter), then every Krylov apply is a
-            # beta*n-row gather + batched dense matvec instead of the
-            # element gather+reduce pair.  Exactly F (same values,
-            # different summation order).
-            Ft_macro = build_macro_values(dev.macro, conv.F_e)
+            # Macro-element fast path: the per-step block-dense values
+            # assembled above (one-hot MXU contractions, no scatter) make
+            # every Krylov apply a beta*n-row gather + batched dense
+            # matvec instead of the element gather+reduce pair.  Exactly
+            # F (same values, different summation order).
             Fcore = lambda u2: apply_macro(dev.macro, Ft_macro, u2)  # noqa: E731
 
             def Fop(v):

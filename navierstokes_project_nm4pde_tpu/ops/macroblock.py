@@ -242,6 +242,18 @@ def build_macro_values_split3(
     return acc
 
 
+def macro_build_fn(kind: str):
+    """Resolve the configured macro value-assembly engine
+    (NumericsConfig.macro_build)."""
+    if kind == "auto":
+        kind = "highest"  # flipped by the TPU A/B when split3 wins
+    if kind == "split3":
+        return build_macro_values_split3
+    if kind == "highest":
+        return build_macro_values
+    raise ValueError(f"unknown macro_build: {kind}")
+
+
 def _mv_kernel(ftT_ref, ub_ref, out_ref, *, nb, C):
     """Per-grid-step block matvec on the VPU (no MXU, no precision
     emulation): out[i, c, :] = sum_v ftT[i, v, :] * ub[i, v, c].

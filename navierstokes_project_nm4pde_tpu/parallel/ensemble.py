@@ -79,7 +79,9 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         # block assembly would build a [B, Bm, U, U] value array per
         # step: fall back to the masked element fold (identical
         # operator, nu-correct).
-        dev_run = _dc.replace(dev_run, imex=None, kbsr=None, macro=None)
+        dev_run = _dc.replace(
+            dev_run, imex=None, kbsr=None, macro=None, macro_mass=None
+        )
     if dev_run.op.dbsr is not None or dev_run.op.gbsr is not None:
         # Same reasoning for the supernode BSR D/G forms: the batched
         # element passes already gather wide rows, and the BSR broadcast

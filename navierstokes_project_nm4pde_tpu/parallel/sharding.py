@@ -140,6 +140,7 @@ def shard_solver(solver, mesh: Mesh):
     solver._imex = None
     solver._kbsr = None
     solver._macro = None
+    solver._macro_mass = None
     solver._rebuild_device_data()
     return solver
 
