@@ -198,6 +198,11 @@ def measure():
             # round-3 folded element pass for A/B.
             f_apply=os.environ.get("NS_BENCH_F_APPLY", "auto"),
             macro_cblk=int(os.environ.get("NS_BENCH_MACRO_CBLK", "20")),
+            # Macro value-assembly engine and the dual-channel macro
+            # rhs/r0 pass (round-5 A/B hooks; "auto" follows the
+            # measured defaults in config.py).
+            macro_build=os.environ.get("NS_BENCH_MACRO_BUILD", "auto"),
+            macro_rhs=os.environ.get("NS_BENCH_MACRO_RHS", "auto"),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
             # "auto" = block-banded dense SpMV when the RCM band fits
             # (frozen Schur only); "ell" forces the bucketed ELL form.
