@@ -142,7 +142,9 @@ def measure():
             ) if f_iters == 0 else 0,
             # Frozen-Schur CG projection warm start: the recycled images
             # stay exact (S1 is setup-frozen), so this costs no S applies.
-            s_recycle=int(os.environ.get("NS_BENCH_SRECYCLE", "0")),
+            # Measured at 965k (round 5): 8.70 vs 8.48 steps/s at k=1 --
+            # the frozen-S1 exact-image warm start halves the S counts.
+            s_recycle=int(os.environ.get("NS_BENCH_SRECYCLE", "1")),
             # Skip the per-step diag(C) tabulation (a full row-rate-bound
             # scalar reduce feeding only the Jacobi diagonal, whose
             # convection part is near zero in the skew-symmetrised form).
@@ -203,6 +205,10 @@ def measure():
             # measured defaults in config.py).
             macro_build=os.environ.get("NS_BENCH_MACRO_BUILD", "auto"),
             macro_rhs=os.environ.get("NS_BENCH_MACRO_RHS", "auto"),
+            macro_split=os.environ.get("NS_BENCH_MACRO_SPLIT", "auto"),
+            macro_conv_build=os.environ.get(
+                "NS_BENCH_MACRO_CONV_BUILD", "auto"
+            ),
             coarse_solve=os.environ.get("NS_BENCH_COARSE_SOLVE", "chol"),
             # "auto" = block-banded dense SpMV when the RCM band fits
             # (frozen Schur only); "ell" forces the bucketed ELL form.

@@ -266,6 +266,20 @@ class NumericsConfig:
     # summation order (equality-tested), ~half the one-hot stream
     # traffic.  "auto" follows the measured default.
     macro_build: str = "auto"
+    # K/C split of the per-step macro build: the constant K = M/dt + nu A
+    # is folded into block-dense macro values ONCE at setup (macro_mass /
+    # macro_stiff); per step only the convection part C_e(w) is one-hot
+    # folded (engine per macro_conv_build) and the three value arrays are
+    # recombined in one fused elementwise pass.  Requires the macro rhs
+    # pass (the element rhs/r0 fallback needs the FULL folded F_e).
+    # "auto" follows the measured default; "on"/"off" force it.
+    macro_split: str = "auto"
+    # Assembly engine for the convection-only macro values under the
+    # split.  "default" (native-rate bf16 MXU, 13.4 vs 21.4 ms at 965k)
+    # puts the bf16-class value error on C's ~1/30 share of F only --
+    # the constant blocks stay exact; "highest" keeps the full-fidelity
+    # build.  "auto" follows the measured default.
+    macro_conv_build: str = "auto"
     # Momentum rhs + warm-start residual through the macro values
     # (b = M hist - G p and r0 = b - F u0 from one slot gather, a
     # dual-channel [Mt | Ft] matvec and one node reduce, plus the BSR

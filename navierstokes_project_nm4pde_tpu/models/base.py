@@ -178,6 +178,10 @@ class DeviceData:
     # and node reduce as the per-step F values in the dual-channel
     # rhs/r0 pass (ops/macroblock.py apply_rhs_and_r0_macro).
     macro_mass: "jax.Array | None" = None
+    # Setup-time macro form of the constant stiffness A [B, U, U] (the
+    # K/C split, NumericsConfig.macro_split): per step only C_e(w) is
+    # one-hot folded and Ft = macro_mass/dt_eff + nu*macro_stiff + Ct.
+    macro_stiff: "jax.Array | None" = None
 
 
 @jax.tree_util.register_dataclass
@@ -546,6 +550,7 @@ class NavierStokesSolver:
         # node count).
         self._macro = None
         self._macro_mass = None
+        self._macro_stiff = None
         _fa = cfg.numerics.f_apply
         _macro_ok = (
             cfg.time.stepper == "projection"
@@ -587,6 +592,30 @@ class NavierStokesSolver:
                 self._macro_mass = jax.jit(build_macro_values)(
                     self._macro, M_e
                 )
+                _msplit = cfg.numerics.macro_split
+                if _msplit == "auto":
+                    _msplit = "off"  # flipped when the TPU A/B lands
+                if _msplit == "on" and cfg.precond.f_iters > 0:
+                    # The smoother path (_solve_F) applies F via the
+                    # element fold, which a conv-only fold cannot drive.
+                    _msplit = "off"
+                if _msplit == "on":
+                    # Setup-time macro stiffness: per step only C_e(w)
+                    # is folded, so the constant blocks never pay the
+                    # per-step build again.
+                    def _stiff(GKd, AHAT):
+                        return build_macro_values(
+                            self._macro,
+                            jnp.einsum("ekl,klij->eij", GKd, AHAT),
+                        )
+
+                    self._macro_stiff = jax.jit(_stiff)(
+                        self.op.GKd, self.op.AHAT
+                    )
+                elif _msplit != "off":
+                    raise ValueError(
+                        f"unknown macro_split: {cfg.numerics.macro_split}"
+                    )
             _mark("macro-element block plan")
         elif _fa != "element":
             raise ValueError(f"unknown f_apply: {cfg.numerics.f_apply}")
@@ -861,6 +890,7 @@ class NavierStokesSolver:
             kbsr=getattr(self, "_kbsr", None),
             macro=getattr(self, "_macro", None),
             macro_mass=getattr(self, "_macro_mass", None),
+            macro_stiff=getattr(self, "_macro_stiff", None),
         )
 
     # ------------------------------------------------------------------
@@ -1252,6 +1282,9 @@ class NavierStokesSolver:
                 op, w, backflow=dev.backflow, fold=fold, w_e=w_e,
                 with_diag=not cfg.precond.freeze_conv_diag,
                 base_e=dev.conv_base,
+                # K/C split: fold only C_e(w); the constant blocks are
+                # recombined on the macro side below.
+                conv_only=use_macro_rhs and dev.macro_stiff is not None,
             )
         fz = dev.proj_schur
         pst = build_precond_state(
@@ -1268,9 +1301,24 @@ class NavierStokesSolver:
                 macro_build_fn,
             )
 
-            Ft_macro = macro_build_fn(cfg.numerics.macro_build)(
-                dev.macro, conv.F_e
-            )
+            if conv.conv_only:
+                # K/C split: fold only the convection values (engine per
+                # macro_conv_build -- "default" puts the bf16-class build
+                # error on C's small share of F) and recombine with the
+                # setup-time constant blocks in one fused pass.
+                _cb = cfg.numerics.macro_conv_build
+                Ct = macro_build_fn("default" if _cb == "auto" else _cb)(
+                    dev.macro, conv.F_e
+                )
+                Ft_macro = (
+                    dev.macro_mass * (1.0 / dt_eff)
+                    + nu * dev.macro_stiff
+                    + Ct
+                )
+            else:
+                Ft_macro = macro_build_fn(cfg.numerics.macro_build)(
+                    dev.macro, conv.F_e
+                )
 
         # ---- 1. tentative velocity ------------------------------------
         # b = M h - G p_n and the warm-start residual r0 = b - F u0 in ONE

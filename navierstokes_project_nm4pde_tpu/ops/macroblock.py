@@ -148,7 +148,8 @@ def build_macro_plan(
 
 
 def build_macro_values(
-    mp: MacroPlan, F_e: jax.Array, layout: str = "uv"
+    mp: MacroPlan, F_e: jax.Array, layout: str = "uv",
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Per-step block-dense values Ft [B, U, U] from the folded
     per-element matrices F_e [E, nloc, nloc].
@@ -172,13 +173,9 @@ def build_macro_values(
     # Intermediate laid out [B, c, nloc, U]: the U axis MUST be minor (an
     # [.., U, nloc] order puts nloc=10 in the lane dim and the (8, 128)
     # tile pads the buffer 12.8x -- measured as a 14 GB intermediate).
-    A = jnp.einsum(
-        "bciu,bcij->bcju", P, F_ep, precision=jax.lax.Precision.HIGHEST
-    )
+    A = jnp.einsum("bciu,bcij->bcju", P, F_ep, precision=precision)
     out = "bvu" if layout == "vu" else "buv"
-    return jnp.einsum(
-        f"bcju,bcjv->{out}", A, P, precision=jax.lax.Precision.HIGHEST
-    )
+    return jnp.einsum(f"bcju,bcjv->{out}", A, P, precision=precision)
 
 
 def _split3_bf16(F: jax.Array):
@@ -244,13 +241,21 @@ def build_macro_values_split3(
 
 def macro_build_fn(kind: str):
     """Resolve the configured macro value-assembly engine
-    (NumericsConfig.macro_build)."""
+    (NumericsConfig.macro_build / macro_conv_build)."""
     if kind == "auto":
-        kind = "highest"  # flipped by the TPU A/B when split3 wins
+        kind = "highest"  # measured: split3 37.1 ms vs highest 21.25
     if kind == "split3":
         return build_macro_values_split3
     if kind == "highest":
         return build_macro_values
+    if kind == "default":
+        # Native-rate MXU (bf16 operands): 13.4 vs 21.4 ms at 965k but
+        # 1.7e-3 value error -- valid ONLY for the convection-only part
+        # under the K/C split, where the error lands on C's ~1/30 share
+        # of F (the constant mass/stiffness blocks stay exact).
+        return functools.partial(
+            build_macro_values, precision=jax.lax.Precision.DEFAULT
+        )
     raise ValueError(f"unknown macro_build: {kind}")
 
 

@@ -641,6 +641,13 @@ class ConvectionData:
     fold_static: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # F_e holds ONLY the convection part C_e(w) (the macro K/C split:
+    # the constant M/dt + nu A lives in setup-time macro blocks and is
+    # recombined there).  apply_F/apply_system refuse such a fold -- it
+    # is not the full velocity operator.
+    conv_only: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 def convection_setup(
@@ -651,6 +658,7 @@ def convection_setup(
     w_e: jax.Array | None = None,
     with_diag: bool = True,
     base_e: jax.Array | None = None,
+    conv_only: bool = False,
 ) -> ConvectionData:
     """Tabulate the linearised convection + Temam term at quadrature points.
 
@@ -700,15 +708,25 @@ def convection_setup(
     fold_static = None
     if fold is not None:
         nu, dt = fold
-        F_e = op.MHAT[None] * (op.detJ / dt)[:, None, None]
-        if base_e is not None:
-            # `base_e` is the constant GKd:AHAT element stiffness,
-            # precomputed ONCE at setup (models/base.py DeviceData
-            # .conv_base) -- the einsum below rebuilt a time-independent
-            # [E, nloc, nloc] array every step.
-            F_e = F_e + nu * base_e
+        if conv_only:
+            # Macro K/C split: emit ONLY the convection element matrices
+            # C_e(w) (skew form + Temam term); the constant M/dt + nu A
+            # part lives in setup-time macro blocks (models/base.py
+            # macro_mass/macro_stiff) and is recombined per step on the
+            # block-dense side.
+            F_e = jnp.zeros(
+                (op.detJ.shape[0],) + op.MHAT.shape, WG.dtype
+            )
         else:
-            F_e = F_e + nu * jnp.einsum("ekl,klij->eij", op.GKd, op.AHAT)
+            F_e = op.MHAT[None] * (op.detJ / dt)[:, None, None]
+            if base_e is not None:
+                # `base_e` is the constant GKd:AHAT element stiffness,
+                # precomputed ONCE at setup (models/base.py DeviceData
+                # .conv_base) -- the einsum below rebuilt a
+                # time-independent [E, nloc, nloc] array every step.
+                F_e = F_e + nu * base_e
+            else:
+                F_e = F_e + nu * jnp.einsum("ekl,klij->eij", op.GKd, op.AHAT)
         R = WG + 0.5 * divw[:, :, None] * op.PHI_U[None]
         cdet = op.detJ if s is None else op.detJ * s
         if op.contraction == "vpu":
@@ -720,11 +738,13 @@ def convection_setup(
             F_e = F_e + jnp.einsum(
                 "q,qi,eqj->eij", op.W, op.PHI_U, R
             ) * cdet[:, None, None]
-        if isinstance(nu, (int, float)) and isinstance(dt, (int, float)):
+        if not conv_only and isinstance(nu, (int, float)) and isinstance(
+            dt, (int, float)
+        ):
             fold_static = (float(nu), float(dt))
     return ConvectionData(
         WG=WG, divw=divw, diagC=diagC, bf=backflow, bf_coef=bf_coef, F_e=F_e,
-        fold_static=fold_static,
+        fold_static=fold_static, conv_only=conv_only and fold is not None,
     )
 
 
@@ -911,6 +931,12 @@ def apply_F(
 def _check_fold(conv: ConvectionData, nu, dt) -> None:
     """Raise if a folded ConvectionData is applied with a different concrete
     (nu, dt) than it was built for (silent wrong-operator guard)."""
+    if conv.conv_only:
+        raise ValueError(
+            "ConvectionData was folded conv_only (macro K/C split): its "
+            "F_e is NOT the full velocity operator and cannot drive "
+            "apply_F/apply_system"
+        )
     if conv.fold_static is None:
         return
     if not (isinstance(nu, (int, float)) and isinstance(dt, (int, float))):

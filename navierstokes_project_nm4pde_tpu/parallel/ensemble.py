@@ -80,7 +80,8 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
         # step: fall back to the masked element fold (identical
         # operator, nu-correct).
         dev_run = _dc.replace(
-            dev_run, imex=None, kbsr=None, macro=None, macro_mass=None
+            dev_run, imex=None, kbsr=None, macro=None, macro_mass=None,
+            macro_stiff=None,
         )
     if dev_run.op.dbsr is not None or dev_run.op.gbsr is not None:
         # Same reasoning for the supernode BSR D/G forms: the batched

@@ -141,6 +141,7 @@ def shard_solver(solver, mesh: Mesh):
     solver._kbsr = None
     solver._macro = None
     solver._macro_mass = None
+    solver._macro_stiff = None
     solver._rebuild_device_data()
     return solver
 

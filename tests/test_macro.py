@@ -158,3 +158,30 @@ def test_macro_projection_step_matches_element():
     np.testing.assert_allclose(
         np.asarray(st_fast.p), np.asarray(st_ref.p), rtol=1e-7, atol=1e-9
     )
+
+
+def test_macro_split_projection_step_matches_unsplit():
+    """K/C split (setup-time mass/stiffness macros + per-step conv-only
+    fold) vs the unsplit per-step full-F build: the combine is linear, so
+    with the exact conv engine the steps agree to summation order."""
+    mesh = cylinder_duct_3d(lc=0.22, nz=3)
+    problem = Cylinder3DProblem(test_case=2)
+    cfg = _cfg("macro")
+    cfg_split = dataclasses.replace(
+        cfg,
+        numerics=dataclasses.replace(
+            cfg.numerics, macro_split="on", macro_conv_build="highest"
+        ),
+    )
+    s_split = NavierStokesSolver(mesh, problem, cfg_split)
+    assert s_split._macro_stiff is not None
+    st_split, d_split = s_split.run(2)
+    s_ref = NavierStokesSolver(mesh, problem, cfg)
+    assert s_ref._macro_stiff is None
+    st_ref, d_ref = s_ref.run(2)
+    np.testing.assert_allclose(
+        np.asarray(st_split.u), np.asarray(st_ref.u), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_split.p), np.asarray(st_ref.p), rtol=1e-7, atol=1e-9
+    )
