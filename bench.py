@@ -145,6 +145,10 @@ def measure():
             # Measured at 965k (round 5): 8.70 vs 8.48 steps/s at k=1 --
             # the frozen-S1 exact-image warm start halves the S counts.
             s_recycle=int(os.environ.get("NS_BENCH_SRECYCLE", "1")),
+            # Zero-extra-apply LS warm start of the velocity FGMRES from
+            # the last k steps' exact (du, F du) pairs (harvested from
+            # the residual recurrence; solvers/krylov.py ls_warmstart).
+            f_warmstart=int(os.environ.get("NS_BENCH_FWARM", "0")),
             # Skip the per-step diag(C) tabulation (a full row-rate-bound
             # scalar reduce feeding only the Jacobi diagonal, whose
             # convection part is near zero in the skew-symmetrised form).

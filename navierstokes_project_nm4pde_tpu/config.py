@@ -113,8 +113,24 @@ class PrecondConfig:
     # ZERO extra S applies (solvers/krylov.py cg_recycled); each step
     # harvests (dphi, S1 dphi) for free from the CG entry/exit residuals.
     s_recycle: int = 0
+    # Projection stepper with the macro rhs pass only: pool size k for
+    # the ZERO-extra-apply least-squares warm start of the velocity
+    # FGMRES.  The last k steps' solve increments ride extra channels
+    # through the dual-channel macro rhs pass (row-rate-bound gather +
+    # reduce: ~free), yielding EXACT images F D under this step's
+    # operator; the warm-start residual is LS-projected onto them
+    # (solvers/krylov.py ls_warmstart) before iterating.  No stale-image
+    # error -- the projected residual is exactly r0 - F(D c) -- and a
+    # monotonicity guard makes the projection a no-op whenever it fails
+    # to shrink the residual.  Inactive when the macro rhs pass is off.
+    f_warmstart: int = 0
 
     def __post_init__(self):
+        if self.f_warmstart > 0 and self.f_recycle > 0:
+            raise ValueError(
+                "f_warmstart and f_recycle are mutually exclusive "
+                "velocity-solve accelerators"
+            )
         if self.f_recycle > 0 and self.f_iters != 0:
             raise ValueError(
                 "f_recycle requires the plain-Jacobi velocity "

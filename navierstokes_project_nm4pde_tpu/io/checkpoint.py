@@ -25,7 +25,7 @@ def save_checkpoint(path: str, state: State, meta: dict | None = None):
         "t": np.asarray(jax.device_get(state.t)),
         "step": np.asarray(jax.device_get(state.step)),
     }
-    for name in ("u_prev", "p_prev", "u_prev2", "p_prev2", "conv_prev", "fpool", "spool"):
+    for name in ("u_prev", "p_prev", "u_prev2", "p_prev2", "conv_prev", "fpool", "spool", "fwpool"):
         val = getattr(state, name)
         if val is not None:
             arrays[name] = np.asarray(jax.device_get(val))
@@ -49,7 +49,7 @@ def save_checkpoint_orbax(path: str, state: State):
             "step": state.step,
             **{
                 name: getattr(state, name)
-                for name in ("u_prev", "p_prev", "u_prev2", "p_prev2", "conv_prev", "fpool", "spool")
+                for name in ("u_prev", "p_prev", "u_prev2", "p_prev2", "conv_prev", "fpool", "spool", "fwpool")
                 if getattr(state, name) is not None
             },
         },
@@ -75,6 +75,7 @@ def load_checkpoint_orbax(path: str) -> State:
         conv_prev=tree.get("conv_prev"),
         fpool=tree.get("fpool"),
         spool=tree.get("spool"),
+        fwpool=tree.get("fwpool"),
     )
 
 
@@ -89,6 +90,6 @@ def load_checkpoint(path: str, dtype=jnp.float32) -> State:
                 name: jnp.asarray(z[name], dtype=dtype)
                 if name in z
                 else None
-                for name in ("u_prev", "p_prev", "u_prev2", "p_prev2", "conv_prev", "fpool", "spool")
+                for name in ("u_prev", "p_prev", "u_prev2", "p_prev2", "conv_prev", "fpool", "spool", "fwpool")
             },
         )

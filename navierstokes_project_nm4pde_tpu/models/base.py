@@ -103,6 +103,16 @@ class State:
     # [1] = their EXACT S1 images (S1 is frozen at setup, so images stay
     # valid across steps).  Zeros are always valid.
     spool: jax.Array | None = None
+    # Zero-extra-apply warm-start pool for the velocity FGMRES
+    # (cfg.precond.f_warmstart > 0): [k, n_unodes * dim] direction rows
+    # (the last k steps' post-warmstart solve increments).  Their images
+    # F D under THIS step's operator are recomputed exactly each step by
+    # riding extra channels through the dual-channel macro rhs pass
+    # (both its gather and reduce are row-rate bound, so the images are
+    # ~free; ops/macroblock.py apply_rhs_and_r0_macro) -- no stale-image
+    # error, unlike pools that carry images across steps.  Zeros are
+    # always valid.
+    fwpool: jax.Array | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -602,15 +612,16 @@ class NavierStokesSolver:
                 if _msplit == "on":
                     # Setup-time macro stiffness: per step only C_e(w)
                     # is folded, so the constant blocks never pay the
-                    # per-step build again.
-                    def _stiff(GKd, AHAT):
+                    # per-step build again.  The plan is a jit ARGUMENT
+                    # -- closing over it serializes the 557 MB one-hot
+                    # into the remote compile request (HTTP 413).
+                    def _stiff(mp_, GKd, AHAT):
                         return build_macro_values(
-                            self._macro,
-                            jnp.einsum("ekl,klij->eij", GKd, AHAT),
+                            mp_, jnp.einsum("ekl,klij->eij", GKd, AHAT)
                         )
 
                     self._macro_stiff = jax.jit(_stiff)(
-                        self.op.GKd, self.op.AHAT
+                        self._macro, self.op.GKd, self.op.AHAT
                     )
                 elif _msplit != "off":
                     raise ValueError(
@@ -953,6 +964,16 @@ class NavierStokesSolver:
                 )
                 else None
             ),
+            fwpool=(
+                jnp.zeros(
+                    (self.config.precond.f_warmstart, n * d), self.dtype
+                )
+                if (
+                    self.config.precond.f_warmstart > 0
+                    and self.config.time.stepper == "projection"
+                )
+                else None
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -980,6 +1001,10 @@ class NavierStokesSolver:
         if cfg.precond.s_recycle > 0 and state.spool is None:
             upd["spool"] = jnp.zeros(
                 (2, cfg.precond.s_recycle, self.space.n_pnodes), self.dtype
+            )
+        if cfg.precond.f_warmstart > 0 and state.fwpool is None:
+            upd["fwpool"] = jnp.zeros(
+                (cfg.precond.f_warmstart, n * d), self.dtype
             )
         return _dc.replace(state, **upd) if upd else state
 
@@ -1327,6 +1352,8 @@ class NavierStokesSolver:
         # were the two largest fixed costs of the step).  Under IMEX the
         # explicit cells' convection rhs -(1-s) N(w) fuses into the same
         # pass (w_e is already gathered).
+        warm_f = False
+        Yw = None
         if use_macro_rhs and Ft_macro is not None:
             # Macro form: (M hist, F u0) share one slot gather + one
             # dual-channel node reduce against [Mt | Ft]; the G p term
@@ -1336,9 +1363,30 @@ class NavierStokesSolver:
                 apply_rhs_and_r0_macro,
             )
 
-            Mh, Fu0 = apply_rhs_and_r0_macro(
-                dev.macro, dev.macro_mass, Ft_macro, hist, u0
+            warm_f = (
+                cfg.precond.f_warmstart > 0 and state.fwpool is not None
             )
+            if warm_f:
+                # Warm-start pool images F D under THIS step's operator,
+                # riding extra channels through the same gather + matvec
+                # + reduce (all row-rate bound: ~free).  Masked like the
+                # solve operator (pool rows are zero on Dirichlet rows).
+                kf = cfg.precond.f_warmstart
+                D_ch = jnp.moveaxis(
+                    state.fwpool.reshape(kf, n, d), 0, 1
+                ).reshape(n, kf * d)
+                Mh, Fu0, FD = apply_rhs_and_r0_macro(
+                    dev.macro, dev.macro_mass, Ft_macro, hist, u0,
+                    extra=D_ch,
+                )
+                Yw = jnp.moveaxis(
+                    jnp.where(mask[:, None], 0.0, FD).reshape(n, kf, d),
+                    1, 0,
+                ).reshape(kf, n * d)
+            else:
+                Mh, Fu0 = apply_rhs_and_r0_macro(
+                    dev.macro, dev.macro_mass, Ft_macro, hist, u0
+                )
             b_u = Mh - ops.apply_gradient(op, state.p)
             r0_u = b_u - Fu0
         else:
@@ -1447,6 +1495,7 @@ class NavierStokesSolver:
         tol_kw = self._tol_kwargs(b_flat)
         du_e = None
         fpool_new = state.fpool
+        fwpool_new = state.fwpool
         recycle = (
             cfg.precond.f_recycle > 0
             and not explicit
@@ -1534,15 +1583,41 @@ class NavierStokesSolver:
             # BSR divergence: D u* is ~1-2 ms, so the aux-gather reuse
             # (accumulating the Krylov applies' element gathers into du_e)
             # no longer pays -- plain FGMRES, no Zaux basis.
+            du_ws = None
+            r0_in = r0
+            if warm_f and Yw is not None:
+                from navierstokes_project_nm4pde_tpu.solvers.krylov import (
+                    ls_warmstart,
+                )
+
+                # Zero-extra-apply warm start: project r0 onto the pool
+                # images F D computed EXACTLY under this step's operator
+                # by the macro rhs pass above -- the projected residual
+                # r0_in = r0 - F (D c) is exact (no stale-image error),
+                # so FGMRES finishes the very system it is handed and the
+                # tolerance contract is untouched.
+                du_ws, r0_in = ls_warmstart(
+                    state.fwpool, Yw, r0,
+                    precise=cfg.numerics.precise_dots,
+                )
             du, info_f = fgmres(
                 Fop,
-                r0,
+                r0_in,
                 M=Mf,
                 restart=cfg.solver.restart,
                 maxiter=cfg.solver.maxiter,
                 precise=cfg.numerics.precise_dots,
                 **tol_kw,
             )
+            if warm_f:
+                # Harvest THIS step's post-warmstart increment (the
+                # innovation beyond the pooled span; its image next step
+                # is recomputed fresh, so nothing can compound).
+                fwpool_new = jnp.concatenate(
+                    [du[None, :], state.fwpool[:-1]], axis=0
+                )
+                if du_ws is not None:
+                    du = du + du_ws
         u_star = u0 + du.reshape(n, d)
 
         # ---- 2. pressure Poisson in the assembled Schur space ----------
@@ -1696,6 +1771,7 @@ class NavierStokesSolver:
             ),
             fpool=fpool_new,
             spool=spool_new,
+            fwpool=fwpool_new,
         )
         info = type(info_f)(
             iters=info_f.iters + info_s.iters,

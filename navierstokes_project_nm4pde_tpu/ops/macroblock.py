@@ -325,9 +325,9 @@ def slot_gather(mp: MacroPlan, x: jax.Array) -> jax.Array:
 
 def apply_rhs_and_r0_macro(
     mp: MacroPlan, Mt: jax.Array, Ft: jax.Array, hist: jax.Array,
-    u0: jax.Array,
+    u0: jax.Array, extra: jax.Array | None = None,
 ):
-    """(M hist, F u0) in ONE slot gather + ONE dual-channel reduce.
+    """(M hist, F u0[, F extra]) in ONE slot gather + ONE wide reduce.
 
     The macro counterpart of ops.apply_rhs_and_r0's element pass (the
     projection momentum rhs b = M hist - G p and warm-start residual
@@ -339,11 +339,17 @@ def apply_rhs_and_r0_macro(
     element pass (gather + quadrature contractions + reduce over 2.2M
     slot rows) is retired.  Exactly M hist / F u0 up to summation order
     (equality-tested in tests/test_macro.py).
+
+    `extra` [n, m] rides additional channels through the SAME gather,
+    Ft matvec, and reduce: both phases are row-rate bound, so fresh
+    exact images F extra for the velocity warm-start pool
+    (cfg.precond.f_warmstart) cost ~nothing on top of the pass.
     Ref: the rhs rebuild in src/NavierStokes2D.cpp:414-488."""
     from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
 
     d = hist.shape[1]
-    x_b = slot_gather(mp, jnp.concatenate([hist, u0], axis=1))
+    xs = [hist, u0] if extra is None else [hist, u0, extra]
+    x_b = slot_gather(mp, jnp.concatenate(xs, axis=1))
     y_b = jnp.concatenate(
         [
             jnp.einsum(
@@ -357,8 +363,10 @@ def apply_rhs_and_r0_macro(
         ],
         axis=-1,
     )
-    y = apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, 2 * d))
-    return y[:, :d], y[:, d:]
+    y = apply_gather_plan(mp.plan, y_b.reshape(mp.B * mp.U, x_b.shape[-1]))
+    if extra is None:
+        return y[:, :d], y[:, d:]
+    return y[:, :d], y[:, d:2 * d], y[:, 2 * d:]
 
 
 def apply_macro(mp: MacroPlan, Ft: jax.Array, u: jax.Array) -> jax.Array:

