@@ -204,6 +204,7 @@ def measure():
             # round-3 folded element pass for A/B.
             f_apply=os.environ.get("NS_BENCH_F_APPLY", "auto"),
             macro_cblk=int(os.environ.get("NS_BENCH_MACRO_CBLK", "20")),
+            macro_u=int(os.environ.get("NS_BENCH_MACRO_U", "128")),
             # Macro value-assembly engine and the dual-channel macro
             # rhs/r0 pass (round-5 A/B hooks; "auto" follows the
             # measured defaults in config.py).

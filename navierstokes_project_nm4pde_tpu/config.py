@@ -273,8 +273,14 @@ class NumericsConfig:
     # "macro" for the single-device projection stepper with fold_elem.
     f_apply: str = "auto"
     # Cells per macro block (auto-shrinks until every block's unique
-    # node count fits the 128-lane slot table).
+    # node count fits the U-lane slot table).
     macro_cblk: int = 20
+    # Macro block slot width U (lane multiples of 128).  Wider blocks
+    # cut the block-overlap factor beta = B*U/n and with it the row
+    # count of BOTH row-rate-bound phases of every macro apply (slot
+    # gather + bucketed reduce), at the price of a larger value stream
+    # and build (scripts/prof_macro_u256.py).
+    macro_u: int = 128
     # Macro value assembly engine.  "highest": f32 operands under the
     # 6-pass bf16 emulation (the validated round-4 form).  "split3":
     # F_e split into three exactly-bf16 parts so both one-hot

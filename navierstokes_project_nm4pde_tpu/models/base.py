@@ -587,7 +587,7 @@ class NavierStokesSolver:
 
             self._macro = build_macro_plan(
                 np.asarray(self.space.cells_u), self.space.n_unodes,
-                U=128, c_blk=cfg.numerics.macro_cblk,
+                U=cfg.numerics.macro_u, c_blk=cfg.numerics.macro_cblk,
                 n_vertices=self.mesh.n_vertices,
             )
             if cfg.numerics.macro_rhs != "off":

@@ -102,13 +102,16 @@ def build_macro_plan(
         raise ValueError("macro blocks cannot satisfy U even at c_blk=2")
 
     # One-hot materialised ON DEVICE (557 MB at 965k -- the host->device
-    # tunnel is the scarce resource; only the 2 MB int8 slot table ships).
-    lidx8 = jnp.asarray(lidx, jnp.int8)
+    # tunnel is the scarce resource; only the 2 MB slot table ships).
+    # int8 covers local slots 0..127 exactly at U=128; wider blocks need
+    # int16 (int8 would silently wrap above 127).
+    idt = jnp.int8 if U <= 128 else jnp.int16
+    lidx8 = jnp.asarray(lidx, idt)
     valid = np.ones((B, c_blk), np.bool_)
     if pad:
         valid.reshape(-1)[E:] = False
     onehot = (
-        (lidx8[..., None] == jnp.arange(U, dtype=jnp.int8))
+        (lidx8[..., None] == jnp.arange(U, dtype=idt))
         & jnp.asarray(valid)[:, :, None, None]
     ).astype(jnp.bfloat16)
 

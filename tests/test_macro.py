@@ -185,3 +185,26 @@ def test_macro_split_projection_step_matches_unsplit():
     np.testing.assert_allclose(
         np.asarray(st_split.p), np.asarray(st_ref.p), rtol=1e-7, atol=1e-9
     )
+
+
+def test_macro_wide_blocks_match_apply_F():
+    """U=256 blocks (the int16 slot-table path; int8 wraps above 127)
+    must produce the same operator as U=128 and the element apply."""
+    mesh = cylinder_duct_3d(lc=0.25, nz=3).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    geom = cell_geometry(space)
+    mask = space.dirichlet_mask([0, 2, 4])
+    op = ops.build_operator(space, geom, np.asarray(mask), dtype=jnp.float64)
+    nu, dt = 1e-3, 2e-4
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    w = jnp.asarray(rng.normal(size=(space.n_unodes, space.dim)))
+    conv = ops.convection_setup(op, w, fold=(nu, dt))
+    y_ref = np.asarray(ops.apply_F(op, nu, dt, conv, u))
+    mp = build_macro_plan(
+        np.asarray(space.cells_u), space.n_unodes, U=256, c_blk=48,
+        n_vertices=mesh.n_vertices,
+    )
+    assert int(np.asarray(mp.uidx).max()) <= space.n_unodes
+    y = np.asarray(apply_macro(mp, build_macro_values(mp, conv.F_e), u))
+    np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-13)
