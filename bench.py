@@ -210,6 +210,7 @@ def measure():
             # measured defaults in config.py).
             macro_build=os.environ.get("NS_BENCH_MACRO_BUILD", "auto"),
             macro_rhs=os.environ.get("NS_BENCH_MACRO_RHS", "auto"),
+            macro_wfuse=os.environ.get("NS_BENCH_MACRO_WFUSE", "auto"),
             macro_split=os.environ.get("NS_BENCH_MACRO_SPLIT", "auto"),
             macro_conv_build=os.environ.get(
                 "NS_BENCH_MACRO_CONV_BUILD", "auto"

@@ -309,6 +309,14 @@ class NumericsConfig:
     # whenever the macro F apply is active; "off" keeps the element
     # pass (A/B hook).
     macro_rhs: str = "auto"
+    # Fused step gather: with the macro rhs pass active, ONE up-front
+    # slot gather carries hist/u0/warm-start-pool/w and the convection
+    # velocity's element view comes from a one-hot MXU expansion of its
+    # slot panels (ops/macroblock.py slot_expand_elem) -- retiring the
+    # standalone 2.2M-row forward gather AND the rhs pass's own slot
+    # gather.  Exact (bit-level) vs the gathered form.  "off" keeps the
+    # separate gathers (A/B hook).
+    macro_wfuse: str = "auto"
     # Matmul precision scoped around every step trace (models/base.py
     # NavierStokesSolver.step -- NOT a process-global setting).  On TPU
     # the default truncates f32 einsum operands to bfloat16; measured to

@@ -1289,9 +1289,43 @@ class NavierStokesSolver:
             and dev.macro_mass is not None
             and cfg.numerics.macro_rhs != "off"
         )
+        x_b_rhs = None
+        warm_f = False
+        D_ch = None
         if not explicit:
             fold = (nu, dt_eff) if cfg.numerics.fold_elem else None
-            if use_macro_rhs:
+            if use_macro_rhs and cfg.numerics.macro_wfuse != "off":
+                # ONE up-front slot gather for the whole step: hist/u0
+                # (the rhs/r0 pass), the warm-start pool directions, and
+                # the convection velocity w all ride the same beta*n-row
+                # gather; w's ELEMENT view is then a one-hot MXU
+                # expansion from its slot panels (slot_expand_elem,
+                # ~1.5 ms) instead of the 2.2M-row forward gather
+                # (~10 ms) -- the slot gather the rhs pass would have
+                # paid is reused, so two of the step's three
+                # row-rate-bound gathers are retired.
+                from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+                    slot_expand_elem,
+                    slot_gather,
+                )
+
+                warm_f = (
+                    cfg.precond.f_warmstart > 0 and state.fwpool is not None
+                )
+                xs = [hist, u0]
+                if warm_f:
+                    kf = cfg.precond.f_warmstart
+                    D_ch = jnp.moveaxis(
+                        state.fwpool.reshape(kf, n, d), 0, 1
+                    ).reshape(n, kf * d)
+                    xs.append(D_ch)
+                xs.append(w)
+                x_b_all = slot_gather(
+                    dev.macro, jnp.concatenate(xs, axis=1)
+                )
+                x_b_rhs = x_b_all[..., :-d]
+                w_e = slot_expand_elem(dev.macro, x_b_all[..., -d:])
+            elif use_macro_rhs:
                 # hist/u0 ride the macro pass's SLOT gather (beta*n
                 # rows); only the convection velocity needs the element
                 # view (gathers are row-rate bound, so the narrower
@@ -1352,32 +1386,35 @@ class NavierStokesSolver:
         # were the two largest fixed costs of the step).  Under IMEX the
         # explicit cells' convection rhs -(1-s) N(w) fuses into the same
         # pass (w_e is already gathered).
-        warm_f = False
         Yw = None
         if use_macro_rhs and Ft_macro is not None:
             # Macro form: (M hist, F u0) share one slot gather + one
             # dual-channel node reduce against [Mt | Ft]; the G p term
             # comes from the assembled gradient (BSR when enabled).
-            # Same values as the element pass to summation order.
+            # Same values as the element pass to summation order.  When
+            # the step's fused up-front gather ran (x_b_rhs), the pass
+            # consumes the PRE-GATHERED slots and pays no gather at all.
             from navierstokes_project_nm4pde_tpu.ops.macroblock import (
                 apply_rhs_and_r0_macro,
             )
 
-            warm_f = (
-                cfg.precond.f_warmstart > 0 and state.fwpool is not None
-            )
+            if x_b_rhs is None:
+                warm_f = (
+                    cfg.precond.f_warmstart > 0 and state.fwpool is not None
+                )
             if warm_f:
                 # Warm-start pool images F D under THIS step's operator,
                 # riding extra channels through the same gather + matvec
                 # + reduce (all row-rate bound: ~free).  Masked like the
                 # solve operator (pool rows are zero on Dirichlet rows).
                 kf = cfg.precond.f_warmstart
-                D_ch = jnp.moveaxis(
-                    state.fwpool.reshape(kf, n, d), 0, 1
-                ).reshape(n, kf * d)
+                if D_ch is None:
+                    D_ch = jnp.moveaxis(
+                        state.fwpool.reshape(kf, n, d), 0, 1
+                    ).reshape(n, kf * d)
                 Mh, Fu0, FD = apply_rhs_and_r0_macro(
                     dev.macro, dev.macro_mass, Ft_macro, hist, u0,
-                    extra=D_ch,
+                    extra=D_ch, x_b=x_b_rhs,
                 )
                 Yw = jnp.moveaxis(
                     jnp.where(mask[:, None], 0.0, FD).reshape(n, kf, d),
@@ -1385,7 +1422,8 @@ class NavierStokesSolver:
                 ).reshape(kf, n * d)
             else:
                 Mh, Fu0 = apply_rhs_and_r0_macro(
-                    dev.macro, dev.macro_mass, Ft_macro, hist, u0
+                    dev.macro, dev.macro_mass, Ft_macro, hist, u0,
+                    x_b=x_b_rhs,
                 )
             b_u = Mh - ops.apply_gradient(op, state.p)
             r0_u = b_u - Fu0

@@ -326,9 +326,47 @@ def slot_gather(mp: MacroPlan, x: jax.Array) -> jax.Array:
     return xb[mp.uidx]
 
 
+def slot_expand_elem(mp: MacroPlan, x_b: jax.Array) -> jax.Array:
+    """[B, U, C] slot view -> [E, nloc, C] element view via the one-hot
+    placement tables -- the forward element gather without the gather.
+
+    The 2.2M-row forward gather of a node field is row-rate bound (~10 ms
+    at 965k even windowed); when the field is ALREADY in the macro slot
+    view (riding the step's one slot gather), each element-local value is
+    a one-hot selection from its block's U-slot panel, so the expansion
+    runs as ONE einsum streaming the placement tables at native bf16 MXU
+    rate (~1.5 ms: 556 MB of one-hot + a 26 MB transpose at 965k).
+
+    Exact for f32 inputs: the channel payload is 3-way bf16 split
+    (hi/mid/lo, each exactly representable -- _split3_bf16) riding as
+    extra channels through the same einsum; every output is a SINGLE
+    split value (one-hot row), so the bf16 products are exact and the
+    f32 recombination hi+mid+lo restores the input bits (the parts'
+    mantissas do not overlap).  Equality-tested against gather_u in
+    tests/test_macro.py."""
+    B, c, nloc, U = mp.onehot.shape
+    C = x_b.shape[-1]
+    P = mp.onehot.reshape(B, c * nloc, U)
+    if x_b.dtype == jnp.float32:
+        hi, mid, lo = _split3_bf16(x_b)
+        xs = jnp.concatenate([hi, mid, lo], axis=-1)  # [B, U, 3C] bf16
+        y = jnp.einsum(
+            "bpu,buk->bkp", P, xs, preferred_element_type=jnp.float32
+        )
+        y = y[:, :C] + y[:, C:2 * C] + y[:, 2 * C:]
+    else:
+        y = jnp.einsum(
+            "bpu,buk->bkp", P.astype(x_b.dtype), x_b,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    y = jnp.moveaxis(y, 1, 2).reshape(B * c, nloc, C)
+    return y[: mp.E]
+
+
 def apply_rhs_and_r0_macro(
     mp: MacroPlan, Mt: jax.Array, Ft: jax.Array, hist: jax.Array,
     u0: jax.Array, extra: jax.Array | None = None,
+    x_b: jax.Array | None = None,
 ):
     """(M hist, F u0[, F extra]) in ONE slot gather + ONE wide reduce.
 
@@ -347,12 +385,18 @@ def apply_rhs_and_r0_macro(
     Ft matvec, and reduce: both phases are row-rate bound, so fresh
     exact images F extra for the velocity warm-start pool
     (cfg.precond.f_warmstart) cost ~nothing on top of the pass.
+
+    `x_b` short-circuits the slot gather with a PRE-GATHERED slot view
+    (channels [hist | u0 | extra...]) -- the step's fused up-front gather
+    (models/base.py) shares one beta*n-row gather between this pass and
+    the convection fold's element view.
     Ref: the rhs rebuild in src/NavierStokes2D.cpp:414-488."""
     from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
 
     d = hist.shape[1]
-    xs = [hist, u0] if extra is None else [hist, u0, extra]
-    x_b = slot_gather(mp, jnp.concatenate(xs, axis=1))
+    if x_b is None:
+        xs = [hist, u0] if extra is None else [hist, u0, extra]
+        x_b = slot_gather(mp, jnp.concatenate(xs, axis=1))
     y_b = jnp.concatenate(
         [
             jnp.einsum(

@@ -42,7 +42,12 @@ def main():
     E = cells_u.shape[0]
     u0 = jax.random.normal(jax.random.PRNGKey(0), (n_unodes, 3), jnp.float32)
 
-    for U, cb in ((128, 20), (192, 34), (256, 48), (256, 56), (384, 80)):
+    configs = ((192, 34), (256, 48))
+    if len(sys.argv) > 3:
+        configs = tuple(
+            tuple(map(int, s.split(","))) for s in sys.argv[3].split(";")
+        )
+    for U, cb in configs:
         t0 = time.time()
         try:
             mp = build_macro_plan(
@@ -82,9 +87,13 @@ def main():
         out = jax.jit(build_macro_values_split3)(mp, Fe)
         err = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         t = timeit(
-            lambda fe, m: build_macro_values_split3(m, fe)[:, 0, 0], Fe, mp
+            lambda m, fe: build_macro_values_split3(m, fe)[:, 0, 0], mp, Fe
         )
         print(f"  build split3          : {t:7.2f} ms  rel err {err:.1e}")
+        t = timeit(
+            lambda m, fe: build_macro_values(m, fe)[:, 0, 0], mp, Fe
+        )
+        print(f"  build highest         : {t:7.2f} ms")
         del mp, Ft, Fe, ref, out
 
 

@@ -208,3 +208,49 @@ def test_macro_wide_blocks_match_apply_F():
     assert int(np.asarray(mp.uidx).max()) <= space.n_unodes
     y = np.asarray(apply_macro(mp, build_macro_values(mp, conv.F_e), u))
     np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-13)
+
+
+def test_slot_expand_elem_matches_gather():
+    """The one-hot MXU expansion of a slot view must reproduce the
+    forward element gather BITWISE: f32 rides the exact 3-way bf16 split
+    (products one-hot-selected, recombination restores the mantissa),
+    f64 goes through a HIGHEST einsum on exact 0/1 operands."""
+    from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+        slot_expand_elem,
+        slot_gather,
+    )
+
+    mesh = cylinder_duct_3d(lc=0.25, nz=3).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    mp = build_macro_plan(
+        np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=20,
+        n_vertices=mesh.n_vertices,
+    )
+    rng = np.random.default_rng(7)
+    for dt in (np.float32, np.float64):
+        w = jnp.asarray(rng.normal(size=(space.n_unodes, 3)).astype(dt))
+        w_e_ref = w[jnp.asarray(np.asarray(space.cells_u))]
+        w_e = slot_expand_elem(mp, slot_gather(mp, w))
+        assert w_e.dtype == w.dtype
+        np.testing.assert_array_equal(np.asarray(w_e), np.asarray(w_e_ref))
+
+
+def test_macro_wfuse_off_matches_on():
+    """Fused up-front slot gather (macro_wfuse) vs separate gathers: the
+    expansion is bit-exact and the rhs pass sees identical slot values,
+    so full projection steps agree bitwise-tight."""
+    mesh = cylinder_duct_3d(lc=0.22, nz=3)
+    problem = Cylinder3DProblem(test_case=2)
+    cfg_on = _cfg("macro")
+    cfg_off = dataclasses.replace(
+        cfg_on,
+        numerics=dataclasses.replace(cfg_on.numerics, macro_wfuse="off"),
+    )
+    st_on, _ = NavierStokesSolver(mesh, problem, cfg_on).run(2)
+    st_off, _ = NavierStokesSolver(mesh, problem, cfg_off).run(2)
+    np.testing.assert_allclose(
+        np.asarray(st_on.u), np.asarray(st_off.u), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_on.p), np.asarray(st_off.p), rtol=1e-12, atol=1e-14
+    )
