@@ -46,6 +46,13 @@ def measure():
     # remainder compiles inside the timed run.  80x80 = one timed
     # program (4.1852 vs 4.1207 steps/s at 40x40, VPU build).
     chunk = int(os.environ.get("NS_BENCH_CHUNK", "80"))
+    # Longer TIMED chunks amortise the dispatch further without risking
+    # the watchdog on the IMPULSIVE first chunk (which bounds plain
+    # NS_BENCH_CHUNK: a cold 160-step first chunk killed the worker):
+    # warm up at `chunk`, then compile + warm-run one `timed_chunk`
+    # program outside the timed section (k is a static jit arg, so the
+    # two lengths are separate cached executables).  0 = same as chunk.
+    timed_chunk = int(os.environ.get("NS_BENCH_TIMED_CHUNK", "0")) or chunk
     precond = os.environ.get("NS_BENCH_PRECOND", "yosida")
     f_corr = int(os.environ.get("NS_BENCH_F_CORR", "0"))
     s_iters = int(os.environ.get("NS_BENCH_S_ITERS", "3"))
@@ -233,6 +240,18 @@ def measure():
     # ~6 steps to reach their steady 10-14 at >=600k DoF).
     warmup = int(os.environ.get("NS_BENCH_WARMUP", "8"))
     state, _ = solver.run(max(2 * chunk, warmup))
+    if timed_chunk != chunk:
+        import dataclasses as _dc
+
+        solver.config = _dc.replace(
+            solver.config,
+            numerics=_dc.replace(
+                solver.config.numerics, steps_per_chunk=timed_chunk
+            ),
+        )
+        # Compile + first execution of the timed-chunk program on a WARM
+        # state (safely under the watchdog), outside the timed section.
+        state, _ = solver.run(timed_chunk, state=state)
     # Timing honesty: solver.run device_gets every chunk's diagnostics (a
     # host readback of program outputs), so by return the device is fully
     # drained -- unlike block_until_ready, which the axon relay has been

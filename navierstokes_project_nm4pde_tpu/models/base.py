@@ -192,6 +192,14 @@ class DeviceData:
     # K/C split, NumericsConfig.macro_split): per step only C_e(w) is
     # one-hot folded and Ft = macro_mass/dt_eff + nu*macro_stiff + Ct.
     macro_stiff: "jax.Array | None" = None
+    # Gate for the fgmres-aux divergence reuse (accumulating the Krylov
+    # applies' element gathers into du_e so the divergence rhs skips its
+    # own gather).  Pays on large single runs WITHOUT the assembled
+    # D forms; vmapped ensembles strip it (the [restart+1, B, E, nloc, d]
+    # aux basis is pure extra traffic when members are small).
+    aux_div: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -1606,7 +1614,10 @@ class NavierStokesSolver:
                 maxiter=cfg.solver.maxiter,
                 precise=cfg.numerics.precise_dots,
             )
-        elif op.dbsr is None and dev.kbsr is None and dev.macro is None:
+        elif (
+            op.dbsr is None and dev.kbsr is None and dev.macro is None
+            and dev.aux_div
+        ):
             du, info_f, du_e = fgmres(
                 Fop_aux,
                 r0,

@@ -83,6 +83,13 @@ def run_ensemble(solver, nus, n_steps: int, sharding=None):
             dev_run, imex=None, kbsr=None, macro=None, macro_mass=None,
             macro_stiff=None,
         )
+    if dev_run.aux_div:
+        # The fgmres-aux divergence reuse stores every Krylov apply's
+        # element view into a [restart+1, B, E, nloc, d] basis under
+        # vmap -- pure extra HBM traffic at ensemble member sizes
+        # (measured 248.6 vs 308.4 member-steps/s at B=64, 47k
+        # DoF/member).  The element divergence pass is the fast path.
+        dev_run = _dc.replace(dev_run, aux_div=False)
     if dev_run.op.dbsr is not None or dev_run.op.gbsr is not None:
         # Same reasoning for the supernode BSR D/G forms: the batched
         # element passes already gather wide rows, and the BSR broadcast
