@@ -281,11 +281,25 @@ def _run_cylinder(args, dim: int):
             f"residual {res:.3e}, c_d {diags.c_d[-1]:.4f}, c_l {diags.c_l[-1]:.4f}"
         )
         if out_every and (done["n"] % out_every == 0 or done["n"] >= n_steps):
-            path = os.path.join(out_dir, f"solution_{done['n']:06d}.vtu")
-            write_vtu(
-                path, solver.space, np.asarray(state.u), np.asarray(state.p),
-                partitioning=cell_part,
-            )
+            if cell_part is not None:
+                # Sharded runs write the reference's multi-file parallel
+                # record: piece .vtu files per subdomain + a .pvtu master
+                # (ref: src/NavierStokes2D.cpp:669-675).
+                from navierstokes_project_nm4pde_tpu.io import (
+                    write_vtu_with_pvtu_record,
+                )
+
+                path = write_vtu_with_pvtu_record(
+                    out_dir, f"solution_{done['n']:06d}", solver.space,
+                    np.asarray(state.u), np.asarray(state.p),
+                    partitioning=cell_part,
+                )
+            else:
+                path = os.path.join(out_dir, f"solution_{done['n']:06d}.vtu")
+                write_vtu(
+                    path, solver.space, np.asarray(state.u),
+                    np.asarray(state.p), partitioning=cell_part,
+                )
             vtu_entries.append((float(state.t), path))
         if args.checkpoint_every and done["n"] % args.checkpoint_every == 0:
             save_checkpoint(os.path.join(out_dir, "checkpoint.npz"), state)

@@ -104,3 +104,53 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     st2 = load_checkpoint_orbax(path)
     np.testing.assert_allclose(np.asarray(st2.u), 2.0)
     assert int(st2.step) == 7
+
+
+def test_pvtu_record(tmp_path):
+    """Multi-file parallel record (ref write_vtu_with_pvtu_record,
+    src/NavierStokes2D.cpp:669-675): piece files partition the cells with
+    locally-renumbered points; the master lists every piece and the
+    shared field schema."""
+    import base64
+    import struct
+
+    from navierstokes_project_nm4pde_tpu.io import write_vtu_with_pvtu_record
+
+    space = build_taylor_hood(cube_mesh(2))
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(space.n_unodes, 3))
+    p = rng.normal(size=space.n_pnodes)
+    master = write_vtu_with_pvtu_record(
+        str(tmp_path), "snap", space, u, p, n_pieces=3
+    )
+    text = open(master).read()
+    assert "PUnstructuredGrid" in text
+    pieces = [ln.split('"')[1] for ln in text.splitlines() if "<Piece" in ln]
+    assert len(pieces) == 3
+
+    def cells_points(fname):
+        t = open(tmp_path / fname).read()
+        ncells = int(t.split('NumberOfCells="')[1].split('"')[0])
+        npts = int(t.split('NumberOfPoints="')[1].split('"')[0])
+        # connectivity block: Int64 "connectivity"
+        blk = t.split('Name="connectivity" format="binary">')[1].split("<")[0]
+        raw = base64.b64decode(blk)
+        (nbytes,) = struct.unpack("<I", raw[:4])
+        conn = np.frombuffer(raw[4: 4 + nbytes], dtype=np.int64)
+        return ncells, npts, conn
+
+    total = 0
+    for f in pieces:
+        ncells, npts, conn = cells_points(f)
+        total += ncells
+        # local renumbering must be in-range and dense at the low end
+        assert conn.max() < npts and conn.min() >= 0
+    assert total == space.mesh.n_cells
+
+    # explicit partitioning array must drive piece assignment
+    part = np.arange(space.mesh.n_cells) % 2
+    master2 = write_vtu_with_pvtu_record(
+        str(tmp_path), "snap2", space, u, p, partitioning=part
+    )
+    t2 = open(master2).read()
+    assert t2.count("<Piece") == 2
