@@ -218,6 +218,7 @@ def measure():
             macro_build=os.environ.get("NS_BENCH_MACRO_BUILD", "auto"),
             macro_rhs=os.environ.get("NS_BENCH_MACRO_RHS", "auto"),
             macro_wfuse=os.environ.get("NS_BENCH_MACRO_WFUSE", "auto"),
+            macro_apply=os.environ.get("NS_BENCH_MACRO_APPLY", "auto"),
             macro_split=os.environ.get("NS_BENCH_MACRO_SPLIT", "auto"),
             macro_conv_build=os.environ.get(
                 "NS_BENCH_MACRO_CONV_BUILD", "auto"

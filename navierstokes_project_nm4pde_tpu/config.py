@@ -302,6 +302,14 @@ class NumericsConfig:
     # the constant blocks stay exact; "highest" keeps the full-fidelity
     # build.  "auto" follows the measured default.
     macro_conv_build: str = "auto"
+    # Macro matvec engine for the Krylov F apply: "highest" streams the
+    # f32 value array through the 6-pass bf16 emulation every apply;
+    # "split3" pre-splits the values into exact bf16 (hi, mid, lo) parts
+    # once per step and pays ONE stream of each half-size part per apply
+    # (six significance products, ~1e-8 rel error class -- the split3
+    # build's class; equality-tested).  "auto" resolves per the
+    # PERFORMANCE.md round-5 A/B.
+    macro_apply: str = "auto"
     # Momentum rhs + warm-start residual through the macro values
     # (b = M hist - G p and r0 = b - F u0 from one slot gather, a
     # dual-channel [Mt | Ft] matvec and one node reduce, plus the BSR

@@ -1486,18 +1486,36 @@ class NavierStokesSolver:
         elif Ft_macro is not None:
             from navierstokes_project_nm4pde_tpu.ops.macroblock import (
                 apply_macro,
+                apply_macro_split3,
+                split3_values,
             )
 
             # Macro-element fast path: the per-step block-dense values
             # assembled above (one-hot MXU contractions, no scatter) make
             # every Krylov apply a beta*n-row gather + batched dense
             # matvec instead of the element gather+reduce pair.  Exactly
-            # F (same values, different summation order).
-            Fcore = lambda u2: apply_macro(dev.macro, Ft_macro, u2)  # noqa: E731
+            # F (same values, different summation order).  The split3
+            # engine pre-splits the values once and streams bf16 parts
+            # per apply (macro_apply config; ~1e-8 rel class).
+            _ma = cfg.numerics.macro_apply
+            if _ma == "auto":
+                _ma = "highest"
+            if _ma == "split3" and self.dtype != jnp.float32:
+                # the 3-way bf16 split covers exactly the f32 mantissa
+                _ma = "highest"
+            if _ma == "split3":
+                Ft3 = split3_values(Ft_macro)
+                Fcore = lambda u2: apply_macro_split3(  # noqa: E731
+                    dev.macro, Ft3, u2
+                )
+            else:
+                Fcore = lambda u2: apply_macro(  # noqa: E731
+                    dev.macro, Ft_macro, u2
+                )
 
             def Fop(v):
                 u = v.reshape(n, d)
-                y = apply_macro(dev.macro, Ft_macro, u)
+                y = Fcore(u)
                 return jnp.where(mask[:, None], u, y).reshape(-1)
 
         else:

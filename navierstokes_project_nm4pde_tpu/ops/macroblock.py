@@ -416,6 +416,50 @@ def apply_rhs_and_r0_macro(
     return y[:, :d], y[:, d:2 * d], y[:, 2 * d:]
 
 
+def split3_values(Ft: jax.Array):
+    """3-way exact-bf16 split (hi, mid, lo) of block values, computed once
+    per step (or at setup for constant blocks) so every apply can stream
+    native bf16 parts instead of re-streaming the f32 array through the
+    HIGHEST emulation's passes."""
+    return _split3_bf16(Ft)
+
+
+def apply_macro_split3(mp: MacroPlan, Ft3, u: jax.Array) -> jax.Array:
+    """y = F u from PRE-SPLIT bf16 value parts: the HIGHEST-precision
+    macro matvec without re-streaming the 712 MB f32 value array.
+
+    The HIGHEST einsum emulates f32 with 6 bf16 product passes, each
+    re-reading the value operand -- at bench scale that is ~4.3 GB of
+    HBM per apply and the measured apply is stream-bound.  Here the
+    values are split ONCE into exactly-bf16 (hi, mid, lo) parts
+    (split3_values; half the bytes each) and the u-side parts ride as
+    channels, so the six significance products (hh, hm, hl, mh, mm, lh
+    -- the same set the emulation keeps) cost ONE stream of each part:
+    ~1.1 GB.  Products of exact-bf16 operands accumulate in f32; the
+    error class equals the split3 build's (~1e-8 relative vs HIGHEST,
+    equality-tested in tests/test_macro.py)."""
+    from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan
+
+    C = u.shape[1]
+    u_b = slot_gather(mp, u)  # [B, U, C] f32
+    uh, um, ul = _split3_bf16(u_b)
+    U3 = jnp.concatenate([uh, um, ul], axis=-1)  # [B, U, 3C] bf16
+    fh, fm, fl = Ft3
+    f32 = jnp.float32
+    Yh = jnp.einsum("buv,bvc->buc", fh, U3, preferred_element_type=f32)
+    Ym = jnp.einsum(
+        "buv,bvc->buc", fm, U3[..., : 2 * C], preferred_element_type=f32
+    )
+    Yl = jnp.einsum(
+        "buv,bvc->buc", fl, U3[..., :C], preferred_element_type=f32
+    )
+    y = (
+        (Yh[..., :C] + (Yh[..., C:2 * C] + Ym[..., :C]))
+        + (Yh[..., 2 * C:] + (Ym[..., C:] + Yl))
+    )
+    return apply_gather_plan(mp.plan, y.reshape(mp.B * mp.U, C))
+
+
 def apply_macro(mp: MacroPlan, Ft: jax.Array, u: jax.Array) -> jax.Array:
     """y = F u via the block-dense values: [n, C] -> [n, C]."""
     from navierstokes_project_nm4pde_tpu.ops.scatter import apply_gather_plan

@@ -254,3 +254,37 @@ def test_macro_wfuse_off_matches_on():
     np.testing.assert_allclose(
         np.asarray(st_on.p), np.asarray(st_off.p), rtol=1e-12, atol=1e-14
     )
+
+
+def test_macro_apply_split3_matches_highest():
+    """Pre-split bf16 apply engine: the six significance products must
+    reproduce the HIGHEST-emulation apply to its own error class
+    (~1e-8 relative -- products exact, f32 summation order differs)."""
+    from navierstokes_project_nm4pde_tpu.ops.macroblock import (
+        apply_macro_split3,
+        split3_values,
+    )
+
+    mesh = cylinder_duct_3d(lc=0.25, nz=3).reorder_spatial("rcm")
+    space = build_taylor_hood(mesh)
+    mp = build_macro_plan(
+        np.asarray(space.cells_u), space.n_unodes, U=128, c_blk=20,
+        n_vertices=mesh.n_vertices,
+    )
+    rng = np.random.default_rng(11)
+    E = space.cells_u.shape[0]
+    nl = space.cells_u.shape[1]
+    F_e = jnp.asarray(
+        rng.normal(size=(E, nl, nl)).astype(np.float32)
+    ) / nl
+    u = jnp.asarray(
+        rng.normal(size=(space.n_unodes, 3)).astype(np.float32)
+    )
+    Ft = build_macro_values(mp, F_e)
+    y_ref = apply_macro(mp, Ft, u)
+    y = apply_macro_split3(mp, split3_values(Ft), u)
+    err = float(
+        np.linalg.norm(np.asarray(y - y_ref))
+        / np.linalg.norm(np.asarray(y_ref))
+    )
+    assert err < 5e-7, err
