@@ -302,6 +302,28 @@ def main():
         (120, 150, {"NS_BENCH_LC": "0.05", "NS_BENCH_NZ": "8"}),  # ~200k
         (0, 120, {"NS_BENCH_LC": "0.08", "NS_BENCH_NZ": "6"}),  # ~47k
     ]
+    # Pre-flight: when the TPU pool is DOWN, every attempt burns its whole
+    # child timeout hanging at platform init before falling through -- the
+    # budget is better spent waiting for recovery, as long as the big
+    # attempt (plus the last-resort tier) still fits afterwards.
+    def tpu_alive(timeout_s=75):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax.numpy as jnp;"
+                 "jnp.ones((8, 128)).sum().block_until_ready();"
+                 "print('ok')"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            return "ok" in r.stdout
+        except Exception:
+            return False
+
+    while _budget() > 600 + 180 and not tpu_alive():
+        print("# TPU probe failed; waiting 60s for pool recovery...",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
     last_err = ""
     for i, (wait_s, est_s, overrides) in enumerate(attempts):
         later_min = min(
