@@ -106,6 +106,72 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     assert int(st2.step) == 7
 
 
+def test_resume_legacy_checkpoint_reinitializes_recycle_pools(tmp_path):
+    """A checkpoint written before f/s_recycle existed has no pool arrays;
+    resuming it with recycling enabled must re-initialize zero pools at run
+    entry (models/base.py _ensure_pools, round-4 advisor finding) instead of
+    silently disabling recycling, and the resumed trajectory must match a
+    plain-CG run to solver tolerance."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from navierstokes_project_nm4pde_tpu.config import (
+        NumericsConfig,
+        PrecondConfig,
+        RunConfig,
+        SolverConfig,
+        TimeConfig,
+    )
+    from navierstokes_project_nm4pde_tpu.mesh import cylinder_channel_2d
+    from navierstokes_project_nm4pde_tpu.models import (
+        Cylinder2DProblem,
+        NavierStokesSolver,
+    )
+
+    mesh = cylinder_channel_2d(lc=0.1)
+
+    def make(s_recycle):
+        return RunConfig(
+            time=TimeConfig(dt=0.01, t_end=0.05, stepper="projection"),
+            solver=SolverConfig(rtol=1e-10, restart=60, maxiter=300),
+            precond=PrecondConfig(
+                kind="yosida", f_iters=0, s_iters=40, s_solver="mg2_cg",
+                s_recycle=s_recycle,
+            ),
+            numerics=NumericsConfig(
+                dtype="float64", precise_dots=False, steps_per_chunk=1
+            ),
+        )
+
+    # Reference: plain CG, straight 5-step run.
+    plain = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), make(0))
+    st_plain, _ = plain.run(5)
+
+    # Recycling run, interrupted after 3 steps by a LEGACY checkpoint
+    # (pools stripped, as written by a pre-recycle build).
+    solver = NavierStokesSolver(mesh, Cylinder2DProblem(test_case=2), make(2))
+    st_mid, _ = solver.run(3)
+    assert st_mid.spool is not None  # sanity: pool engaged before the save
+    legacy = dataclasses.replace(st_mid, spool=None, fpool=None, fwpool=None)
+    path = str(tmp_path / "legacy.npz")
+    save_checkpoint(path, legacy)
+    resumed = load_checkpoint(path, dtype=jnp.float64)
+    assert resumed.spool is None
+
+    st_end, _ = solver.run(2, state=resumed)
+    # The guard must have re-created the pool AND the warm start must have
+    # engaged (harvest makes it nonzero after a step).
+    assert st_end.spool is not None
+    assert float(np.abs(np.asarray(st_end.spool)).max()) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(st_end.u), np.asarray(st_plain.u), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_end.p), np.asarray(st_plain.p), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_pvtu_record(tmp_path):
     """Multi-file parallel record (ref write_vtu_with_pvtu_record,
     src/NavierStokes2D.cpp:669-675): piece files partition the cells with
